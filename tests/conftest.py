@@ -1,0 +1,22 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Tests validate numerics and sharding without TPU hardware; bench.py runs on
+the real chip.  Must run before jax initializes, hence env vars here.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
