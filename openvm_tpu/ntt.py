@@ -78,6 +78,7 @@ def _dif_stages(x: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
     return x
 
 
+@jax.jit
 def ntt(x: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT along axis 0, natural in / natural out. x: (N, W) monty."""
     n = x.shape[0]
@@ -89,6 +90,7 @@ def ntt(x: jnp.ndarray) -> jnp.ndarray:
     return bitrev_rows(y)
 
 
+@jax.jit
 def intt(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT along axis 0, natural in / natural out (scaled by 1/N)."""
     n = x.shape[0]
@@ -113,6 +115,7 @@ def _shift_powers(log_n: int, shift: int) -> np.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def coset_lde(x: jnp.ndarray, log_blowup: int, shift: int = bb.GENERATOR,
               bitrev_out: bool = True) -> jnp.ndarray:
     """Low-degree extend columns of x onto coset shift*<g_{N<<blowup}>.

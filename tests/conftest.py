@@ -7,6 +7,11 @@ the real chip.  Must run before jax initializes, hence env vars here.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compile cache: tiny uint32 kernels recompile on every pytest
+# process otherwise.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/openvm_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
