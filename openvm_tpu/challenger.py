@@ -1,0 +1,92 @@
+"""Fiat-Shamir transcript: duplex-sponge challenger (host-side, serial).
+
+Faithful reimplementation of plonky3's ``DuplexChallenger<BabyBear,
+Poseidon2, WIDTH=16, RATE=8>`` semantics, which the reference proof system
+uses for its inner config (SURVEY.md section 2.2 protocol description, and the
+line-by-line port in reference extensions/native/recursion/src/challenger/
+duplex.rs).  The challenger is inherently serial host code; field ops here are
+numpy uint64 canonical arithmetic.
+
+Transcript-compatibility invariants:
+  * observe() clears the output buffer (samples never survive an observe)
+  * duplex: input buffer overwrites state[0..k], permute, output = state[0..8]
+  * sample() pops from the END of the output buffer
+  * sample_bits(b) masks the low b bits of the canonical value
+  * grinding witness: observe(w) then sample_bits(bits) == 0
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .field import babybear as bb
+from .poseidon2 import Poseidon2Host, RATE, WIDTH
+
+P = bb.P
+
+
+class DuplexChallenger:
+    def __init__(self):
+        self._perm = Poseidon2Host()
+        self.state = np.zeros(WIDTH, dtype=np.uint64)
+        self.input_buffer: list[int] = []
+        self.output_buffer: list[int] = []
+
+    def clone(self) -> "DuplexChallenger":
+        c = DuplexChallenger()
+        c.state = self.state.copy()
+        c.input_buffer = list(self.input_buffer)
+        c.output_buffer = list(self.output_buffer)
+        return c
+
+    def _duplexing(self) -> None:
+        assert len(self.input_buffer) <= RATE
+        for i, v in enumerate(self.input_buffer):
+            self.state[i] = v
+        self.input_buffer.clear()
+        self.state = self._perm.permute(self.state)
+        self.output_buffer = list(int(x) for x in self.state[:RATE])
+
+    def observe(self, value: int) -> None:
+        value = int(value) % P
+        self.output_buffer.clear()
+        self.input_buffer.append(value)
+        if len(self.input_buffer) == RATE:
+            self._duplexing()
+
+    def observe_slice(self, values) -> None:
+        for v in np.asarray(values, dtype=np.uint64).reshape(-1):
+            self.observe(int(v))
+
+    def observe_ext(self, coeffs) -> None:
+        """Observe an extension element as its 4 base coefficients."""
+        self.observe_slice(np.asarray(coeffs, dtype=np.uint64))
+
+    def sample(self) -> int:
+        if self.input_buffer or not self.output_buffer:
+            self._duplexing()
+        return self.output_buffer.pop()
+
+    def sample_ext(self) -> np.ndarray:
+        """Sample an extension element (4 base samples, coeff order a0..a3)."""
+        return np.array([self.sample() for _ in range(4)], dtype=np.uint64)
+
+    def sample_bits(self, bits: int) -> int:
+        return self.sample() & ((1 << bits) - 1)
+
+    # -- proof of work --------------------------------------------------
+
+    def check_witness(self, bits: int, witness: int) -> bool:
+        self.observe(witness)
+        return self.sample_bits(bits) == 0
+
+    def grind(self, bits: int) -> int:
+        """Find (and absorb) a witness w with sample_bits(bits)==0."""
+        w = 0
+        while True:
+            if self.clone().check_witness(bits, w):
+                break
+            w += 1
+        ok = self.check_witness(bits, w)
+        assert ok
+        return w

@@ -115,11 +115,12 @@ def _shift_powers(log_n: int, shift: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def coset_lde(x: jnp.ndarray, log_blowup: int, shift: int = bb.GENERATOR,
-              bitrev_out: bool = True) -> jnp.ndarray:
+              bitrev_out: bool = True, in_shift: int = 1) -> jnp.ndarray:
     """Low-degree extend columns of x onto coset shift*<g_{N<<blowup}>.
 
+    x holds evaluations over the coset in_shift*<g_N> (natural order).
     Returns evaluations in bit-reversed row order when bitrev_out (the order
     committed to Merkle trees, mirroring p3-fri's BitReversedMatrixView).
     """
@@ -127,7 +128,9 @@ def coset_lde(x: jnp.ndarray, log_blowup: int, shift: int = bb.GENERATOR,
     log_n = int(n).bit_length() - 1
     assert 1 << log_n == n
     coeffs = intt(x)
-    coeffs = bb.mul(coeffs, jnp.asarray(_shift_powers(log_n, shift))[:, None])
+    eff_shift = (shift * pow(in_shift, -1, bb.P)) % bb.P
+    coeffs = bb.mul(coeffs,
+                    jnp.asarray(_shift_powers(log_n, eff_shift))[:, None])
     big_n = n << log_blowup
     padded = jnp.concatenate(
         [coeffs, jnp.zeros((big_n - n, w), dtype=jnp.uint32)], axis=0)

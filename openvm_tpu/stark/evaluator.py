@@ -1,0 +1,190 @@
+"""DAG evaluation backends.
+
+DeviceOps evaluates a SymbolicDag vectorized over trace rows on device
+(uint32 monty; base values shape (N,) / scalars (), extension values
+(N, 4) / (4,)).  HostOps evaluates pointwise with python ints (the verifier's
+folded-constraint check at zeta, where every trace cell is extension-valued).
+
+Values are tagged ('b', x) for base field or ('e', x) for the quartic
+extension; mixed arithmetic promotes as needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import babybear as bb
+from ..field import ext as ef
+
+P = bb.P
+EXT_W = 11
+
+
+# ---------------------------------------------------------------------------
+# Device backend
+# ---------------------------------------------------------------------------
+
+
+class DeviceOps:
+    """env keys:
+      main: list of (N, W) base monty matrices (one per partition)
+      preprocessed: (N, W) or None
+      perm: (N, 4*m) base monty (flattened ext columns) or None
+      publics: (num_pvs,) base monty (canonical values pre-montied)
+      challenges: (k, 4) ext monty
+      exposed: (k, 4) ext monty
+      sels: {'is_first_row'|'is_last_row'|'is_transition': (N,) base monty}
+      next_step: int row shift for offset=1
+    """
+
+    @staticmethod
+    def const(v: int):
+        return ("b", jnp.asarray(np.uint32(bb.to_monty_int(v % P))))
+
+    @staticmethod
+    def var(env, entry, part, offset, index):
+        step = env["next_step"] * offset
+        if entry == "main":
+            m = env["main"][part]
+            col = m[:, index]
+            return ("b", jnp.roll(col, -step, axis=0) if step else col)
+        if entry == "preprocessed":
+            m = env["preprocessed"]
+            col = m[:, index]
+            return ("b", jnp.roll(col, -step, axis=0) if step else col)
+        if entry == "permutation":
+            m = env["perm"]
+            cols = m[:, 4 * index:4 * index + 4]
+            return ("e", jnp.roll(cols, -step, axis=0) if step else cols)
+        if entry == "public":
+            return ("b", env["publics"][index])
+        if entry == "challenge":
+            return ("e", env["challenges"][index])
+        if entry == "exposed":
+            return ("e", env["exposed"][index])
+        raise KeyError(entry)
+
+    @staticmethod
+    def sel(env, which):
+        return ("b", env["sels"][which])
+
+    @staticmethod
+    def _promote(x):
+        tag, v = x
+        if tag == "e":
+            return v
+        v = jnp.asarray(v)
+        z = jnp.zeros(v.shape + (3,), dtype=jnp.uint32)
+        return jnp.concatenate([v[..., None], z], axis=-1)
+
+    @classmethod
+    def add(cls, a, b):
+        if a[0] == b[0]:
+            return (a[0], bb.add(a[1], b[1]))
+        return ("e", bb.add(cls._promote(a), cls._promote(b)))
+
+    @classmethod
+    def sub(cls, a, b):
+        if a[0] == b[0]:
+            return (a[0], bb.sub(a[1], b[1]))
+        return ("e", bb.sub(cls._promote(a), cls._promote(b)))
+
+    @classmethod
+    def mul(cls, a, b):
+        if a[0] == "b" and b[0] == "b":
+            return ("b", bb.mul(a[1], b[1]))
+        if a[0] == "e" and b[0] == "e":
+            return ("e", ef.mul(a[1], b[1]))
+        e, s = (a, b) if a[0] == "e" else (b, a)
+        return ("e", bb.mul(e[1], jnp.asarray(s[1])[..., None]))
+
+    @classmethod
+    def neg(cls, a):
+        return (a[0], bb.neg(a[1]))
+
+
+# ---------------------------------------------------------------------------
+# Host backend (python ints; ext = tuple of 4 ints)
+# ---------------------------------------------------------------------------
+
+
+def hadd(a, b):
+    return tuple((x + y) % P for x, y in zip(a, b))
+
+
+def hsub(a, b):
+    return tuple((x - y) % P for x, y in zip(a, b))
+
+
+def hneg(a):
+    return tuple((-x) % P for x in a)
+
+
+def hmul(a, b):
+    c = [0] * 7
+    for i in range(4):
+        if a[i] == 0:
+            continue
+        for j in range(4):
+            c[i + j] = (c[i + j] + a[i] * b[j]) % P
+    return tuple((c[k] + EXT_W * c[k + 4]) % P if k < 3 else c[k]
+                 for k in range(4))
+
+
+def hinv(a):
+    """Extension inverse via frobenius/norm (host ints)."""
+    def frob(x, k):
+        s = pow(EXT_W, (P - 1) // 4 * k, P)
+        return tuple((x[i] * pow(s, i, P)) % P for i in range(4))
+
+    f1, f2, f3 = frob(a, 1), frob(a, 2), frob(a, 3)
+    g = hmul(f1, hmul(f2, f3))
+    norm = hmul(a, g)[0]
+    ninv = pow(norm, -1, P)
+    return tuple((x * ninv) % P for x in g)
+
+
+def base(v: int):
+    return (v % P, 0, 0, 0)
+
+
+class HostOps:
+    """env keys (everything already at the out-of-domain point zeta):
+      main: list of (local_row, next_row) pairs of lists of ext tuples
+      preprocessed: (local, next) or None
+      perm: (local, next) lists of ext tuples (unflattened) or None
+      publics: list of ints
+      challenges: list of ext tuples
+      exposed: list of ext tuples
+      sels: {'is_first_row', 'is_last_row', 'is_transition'}: ext tuples
+    """
+
+    @staticmethod
+    def const(v: int):
+        return base(v)
+
+    @staticmethod
+    def var(env, entry, part, offset, index):
+        if entry == "main":
+            return env["main"][part][offset][index]
+        if entry == "preprocessed":
+            return env["preprocessed"][offset][index]
+        if entry == "permutation":
+            return env["perm"][offset][index]
+        if entry == "public":
+            return base(env["publics"][index])
+        if entry == "challenge":
+            return env["challenges"][index]
+        if entry == "exposed":
+            return env["exposed"][index]
+        raise KeyError(entry)
+
+    @staticmethod
+    def sel(env, which):
+        return env["sels"][which]
+
+    add = staticmethod(hadd)
+    sub = staticmethod(hsub)
+    mul = staticmethod(hmul)
+    neg = staticmethod(hneg)

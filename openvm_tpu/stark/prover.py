@@ -1,0 +1,554 @@
+"""Multi-trace STARK prover, TPU-native.
+
+Proves a set of AIR traces tied by LogUp interactions, following exactly the
+protocol pinned by the reference's recursive verifier (reference
+extensions/native/recursion/src/stark/mod.rs verify_raps + fri/two_adic_pcs.rs;
+see SURVEY.md section 2.2 for the transcript order).  Host code (this file)
+orchestrates; all row-parallel compute (LDE, Poseidon2/Merkle, LogUp traces,
+quotient evaluation, FRI folds, barycentric opens) runs on device via JAX.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import babybear as bb
+from ..field import ext as ef
+from .. import fri, merkle, ntt
+from ..challenger import DuplexChallenger
+from .config import MAX_TWO_ADICITY
+from .evaluator import DeviceOps
+from .keygen import MultiStarkProvingKey
+from .logup import build_perm_trace
+
+P = bb.P
+
+
+# ---------------------------------------------------------------------------
+# Proof objects
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AdjacentOpenedValues:
+    local: list  # list of ext 4-tuples (canonical)
+    next: list
+
+
+@dataclass
+class OpeningValues:
+    preprocessed: list  # [AdjacentOpenedValues] per air-with-prep
+    main: list  # per main commit: [per mat: AdjacentOpenedValues]
+    after_challenge: list  # per phase: [per mat: AdjacentOpenedValues]
+    quotient: list  # per air: [per chunk: [4 ext 4-tuples... see note]]
+
+
+@dataclass
+class Commitments:
+    main_trace: list  # [(8,) canonical digests]
+    after_challenge: list
+    quotient: np.ndarray
+
+
+@dataclass
+class AirProofData:
+    air_id: int
+    log_degree: int
+    exposed_values_after_challenge: list  # per phase: [ext 4-tuple]
+    public_values: list  # canonical ints
+
+
+@dataclass
+class Opening:
+    proof: fri.FriProof
+    values: OpeningValues
+
+
+@dataclass
+class Proof:
+    commitments: Commitments
+    opening: Opening
+    per_air: list  # [AirProofData]
+    air_perm_by_height: list
+    log_up_pow_witness: int
+
+
+@dataclass
+class AirProvingContext:
+    """Inputs for one AIR instance (heights must be powers of two)."""
+
+    air_id: int
+    common_main: object = None  # (N, W) canonical numpy or device monty
+    cached_mains: list = field(default_factory=list)
+    public_values: list = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Device helpers
+# ---------------------------------------------------------------------------
+
+
+def _to_device_monty(m) -> jnp.ndarray:
+    if isinstance(m, jnp.ndarray) and m.dtype == jnp.uint32:
+        return m  # assumed already monty on device
+    arr = np.asarray(m, dtype=np.uint64) % P
+    return bb.to_monty(jnp.asarray(arr.astype(np.uint32)))
+
+
+def _ext_scalar(canonical4) -> jnp.ndarray:
+    return bb.to_monty(jnp.asarray(np.asarray(canonical4, dtype=np.uint64)
+                                   .astype(np.uint32)))
+
+
+def _alpha_pows(alpha: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(n, 4) ext monty powers alpha^0..alpha^{n-1}."""
+    pows = [ef.ones(())]
+    for _ in range(1, n):
+        pows.append(ef.mul(pows[-1], alpha))
+    return jnp.stack(pows) if n > 0 else ef.zeros((0,))
+
+
+def _col_comb(matrix: jnp.ndarray, alpha_pows: jnp.ndarray,
+              chunk_rows: int = 1 << 16) -> jnp.ndarray:
+    """sum_t alpha^t * M[:, t] -> (N, 4) ext monty (chunked over rows)."""
+    n, w = matrix.shape
+    out = []
+    for r0 in range(0, n, chunk_rows):
+        block = matrix[r0:r0 + chunk_rows]  # (R, W)
+        prod = bb.mul(block[:, :, None], alpha_pows[None, :w, :])  # (R, W, 4)
+        out.append(bb.sum_mod(prod, axis=1))
+    return jnp.concatenate(out, axis=0)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _lde_points(log_size: int, shift: int) -> np.ndarray:
+    """x_j = shift * w^{bitrev(j)} over the LDE domain, monty (bitrev order)."""
+    n = 1 << log_size
+    w = bb.two_adic_generator_int(log_size)
+    pts = np.empty(n, dtype=np.uint32)
+    acc = shift % P
+    for j in range(n):
+        pts[j] = bb.to_monty_int(acc)
+        acc = (acc * w) % P
+    return pts[ntt.bitrev_perm(log_size)]
+
+
+def _barycentric_open(lde_bitrev: jnp.ndarray, z: jnp.ndarray,
+                      log_lde: int, shift: int = bb.GENERATOR) -> jnp.ndarray:
+    """Evaluate all column polys at ext point z from LDE evals (bitrev).
+
+    p(z) = (z^M - s^M) / (M * s^M) * sum_j x_j v_j / (z - x_j), M = 2^log_lde.
+    Returns (W, 4) ext monty.
+    """
+    m = 1 << log_lde
+    xs = jnp.asarray(_lde_points(log_size=log_lde, shift=shift))  # (M,) monty
+    z_b = jnp.broadcast_to(z, (m, 4))
+    zmx = ef.sub(z_b, ef.from_base(xs))
+    zmx_inv = ef.inv(zmx)  # (M, 4)
+    weights = ef.scale(zmx_inv, xs)  # x_j / (z - x_j)
+    # factor = (z^M - s^M) / (M * s^M)
+    z_m = ef.exp_u64(z, m)
+    s_m = pow(shift, m, P)
+    factor = ef.scale(
+        ef.sub(z_m, ef.from_base(bb.full((), s_m))),
+        bb.full((), pow((m * s_m) % P, -1, P)))
+    # per column: sum_j weights_j * v_{j,t}
+    n, w = lde_bitrev.shape
+    outs = []
+    chunk = 1 << 16
+    acc = None
+    for r0 in range(0, n, chunk):
+        blk = lde_bitrev[r0:r0 + chunk]  # (R, W)
+        wblk = weights[r0:r0 + chunk]  # (R, 4)
+        prod = bb.mul(blk[:, :, None], wblk[:, None, :])  # (R, W, 4)
+        s = bb.sum_mod(prod, axis=0)  # (W, 4)
+        acc = s if acc is None else bb.add(acc, s)
+    return ef.mul(jnp.broadcast_to(factor, acc.shape), acc)
+
+
+def _selectors_on_domain(log_n: int, log_domain: int, shift: int):
+    """Lagrange selectors of trace domain H (size 2^log_n, shift 1) evaluated
+    over the coset shift*<w_{2^log_domain}> in natural order.
+
+    Returns dict of (D,) base monty arrays + inv_zeroifier.
+    """
+    n = 1 << log_n
+    d = 1 << log_domain
+    w = bb.two_adic_generator_int(log_domain)
+    # x values natural order
+    xs = np.empty(d, dtype=np.uint32)
+    acc = shift % P
+    for j in range(d):
+        xs[j] = bb.to_monty_int(acc)
+        acc = (acc * w) % P
+    x = jnp.asarray(xs)
+    one = bb.ones(())
+    x_n = x
+    for _ in range(log_n):
+        x_n = bb.mul(x_n, x_n)
+    z_h = bb.sub(x_n, jnp.broadcast_to(one, x_n.shape))
+    g_n = bb.two_adic_generator_int(log_n)
+    g_inv = bb.full((), pow(g_n, -1, P))
+    x_m1 = bb.sub(x, jnp.broadcast_to(one, x.shape))
+    x_mg = bb.sub(x, jnp.broadcast_to(g_inv, x.shape))
+    inv_x_m1 = bb.inv(x_m1)
+    inv_x_mg = bb.inv(x_mg)
+    return {
+        "is_first_row": bb.mul(z_h, inv_x_m1),
+        "is_last_row": bb.mul(z_h, inv_x_mg),
+        "is_transition": x_mg,
+        "inv_zeroifier": bb.inv(z_h),
+    }
+
+
+# ---------------------------------------------------------------------------
+# The prover
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _MatInfo:
+    """One committed matrix inside a FRI round."""
+
+    lde_bitrev: jnp.ndarray  # (2^log_lde, W) base monty
+    log_lde: int
+    points: list  # canonical ext 4-tuples (z values)
+    opened: list = None  # filled later: [(W,4) canonical per point]
+
+
+@dataclass
+class _Round:
+    tree: merkle.MerkleTree
+    mats: list  # [_MatInfo]
+
+
+def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
+    """Prove the given AIR instances. ctxs: list[AirProvingContext]."""
+    cfg = pk.vk.config
+    lb = cfg.fri.log_blowup
+    challenger = DuplexChallenger()
+
+    # ---- prepare traces on device -------------------------------------
+    ctxs = sorted(ctxs, key=lambda c: c.air_id)
+    air_ids = [c.air_id for c in ctxs]
+    vks = [pk.vk.per_air[c.air_id] for c in ctxs]
+    commons = [_to_device_monty(c.common_main) if c.common_main is not None
+               else None for c in ctxs]
+    cacheds = [[_to_device_monty(m) for m in c.cached_mains] for c in ctxs]
+
+    heights = []
+    for c, com, cas in zip(ctxs, commons, cacheds):
+        h = com.shape[0] if com is not None else cas[0].shape[0]
+        assert h & (h - 1) == 0
+        heights.append(int(h))
+    log_degrees = [h.bit_length() - 1 for h in heights]
+    assert all(ld + lb <= MAX_TWO_ADICITY for ld in log_degrees)
+
+    # ---- commit main traces -------------------------------------------
+    cached_trees = []  # (air_pos, mat) order
+    cached_ldes = []
+    for i, cas in enumerate(cacheds):
+        for m in cas:
+            lde = ntt.coset_lde(m, lb)
+            tree = merkle.commit([lde])
+            cached_trees.append(tree)
+            cached_ldes.append((i, lde))
+    common_ldes = [ntt.coset_lde(m, lb) if m is not None else None
+                   for m in commons]
+    common_present = [i for i, m in enumerate(common_ldes) if m is not None]
+    common_tree = merkle.commit([common_ldes[i] for i in common_present])
+
+    main_commits = [t.root for t in cached_trees] + [common_tree.root]
+
+    # ---- transcript: preamble -----------------------------------------
+    challenger.observe_slice(pk.vk.pre_hash)
+    challenger.observe(len(ctxs))
+    for a in air_ids:
+        challenger.observe(a)
+    for c, vk in zip(ctxs, vks):
+        assert len(c.public_values) == vk.num_public_values
+        challenger.observe_slice(np.asarray(c.public_values, dtype=np.uint64))
+    for vk in vks:
+        if vk.preprocessed_commit is not None:
+            challenger.observe_slice(vk.preprocessed_commit)
+    for commit in main_commits:
+        challenger.observe_slice(commit)
+    for ld in log_degrees:
+        challenger.observe(ld)
+
+    # ---- phase 1: LogUp ------------------------------------------------
+    num_phases = pk.vk.num_phases
+    perm_ldes = {}
+    exposed = {i: [] for i in range(len(ctxs))}
+    perm_traces = {}
+    challenges_dev = None
+    log_up_pow_witness = 0
+    after_challenge_commits = []
+    if num_phases:
+        log_up_pow_witness = challenger.grind(cfg.log_up_pow_bits)
+        ch0 = challenger.sample_ext()
+        ch1 = challenger.sample_ext()
+        challenges_dev = jnp.stack([_ext_scalar(ch0), _ext_scalar(ch1)])
+        for i, (c, vk) in enumerate(zip(ctxs, vks)):
+            if not vk.widths.after_challenge:
+                continue
+            env = {
+                "main": cacheds[i] + ([commons[i]] if commons[i] is not None
+                                      else []),
+                "preprocessed": pk.per_air[c.air_id].preprocessed_trace,
+                "perm": None,
+                "publics": bb.to_monty(jnp.asarray(
+                    np.asarray(c.public_values, dtype=np.uint64)
+                    .astype(np.uint32))) if c.public_values else
+                    jnp.zeros((0,), jnp.uint32),
+                "challenges": challenges_dev,
+                "exposed": ef.zeros((1,)),
+                "sels": None,
+                "next_step": 1,
+            }
+            perm, cumsum = build_perm_trace(vk.dag, env,
+                                            vk.interaction_chunks,
+                                            challenges_dev)
+            perm_traces[i] = perm
+            cum_host = np.asarray(bb.from_monty(cumsum), dtype=np.uint64)
+            exposed[i] = [tuple(int(x) for x in cum_host)]
+            challenger.observe_ext(cum_host)
+        perm_order = [i for i in range(len(ctxs)) if i in perm_traces]
+        for i in perm_order:
+            perm_ldes[i] = ntt.coset_lde(perm_traces[i], lb)
+        perm_tree = merkle.commit([perm_ldes[i] for i in perm_order])
+        after_challenge_commits = [perm_tree.root]
+        challenger.observe_slice(perm_tree.root)
+    else:
+        perm_order = []
+        perm_tree = None
+
+    alpha_c = challenger.sample_ext()
+    alpha = _ext_scalar(alpha_c)
+
+    # ---- quotient ------------------------------------------------------
+    quotient_chunk_mats = []  # [(air_pos, chunk_idx, (N,4) natural evals)]
+    for i, (c, vk) in enumerate(zip(ctxs, vks)):
+        lqd = vk.log_quotient_degree
+        log_n = log_degrees[i]
+        log_q = log_n + lqd
+        step = 1 << lqd
+
+        def q_slice(lde_bitrev, log_lde=None):
+            # first 2^log_q rows of the bitrev LDE = quotient domain
+            sub = lde_bitrev[: 1 << log_q]
+            return ntt.bitrev_rows(sub)  # natural order on quotient domain
+
+        env = {
+            "main": [q_slice(lde) for (j, lde) in cached_ldes if j == i]
+            + ([q_slice(common_ldes[i])] if common_ldes[i] is not None
+               else []),
+            "preprocessed": (q_slice(pk.per_air[c.air_id].preprocessed_lde)
+                             if pk.per_air[c.air_id].preprocessed_lde
+                             is not None else None),
+            "perm": q_slice(perm_ldes[i]) if i in perm_ldes else None,
+            "publics": bb.to_monty(jnp.asarray(
+                np.asarray(c.public_values, dtype=np.uint64)
+                .astype(np.uint32))) if c.public_values else
+                jnp.zeros((0,), jnp.uint32),
+            "challenges": challenges_dev if challenges_dev is not None
+            else ef.zeros((2,)),
+            "exposed": (_ext_scalar(exposed[i][0])[None, :] if exposed[i]
+                        else ef.zeros((1,))),
+            "sels": None,
+            "next_step": step,
+        }
+        sels = _selectors_on_domain(log_n, log_q, bb.GENERATOR)
+        env["sels"] = sels
+
+        vals = vk.dag.eval(DeviceOps, env)
+        acc = ef.zeros((1 << log_q,))
+        for root in vk.dag.constraint_roots:
+            tag, v = vals[root]
+            acc = ef.mul(acc, jnp.broadcast_to(alpha, acc.shape))
+            if tag == "b":
+                acc = ef.add(acc, ef.from_base(jnp.broadcast_to(
+                    v, (1 << log_q,))))
+            else:
+                acc = ef.add(acc, jnp.broadcast_to(v, acc.shape))
+        quotient = ef.scale(acc, sels["inv_zeroifier"])  # (2^log_q, 4)
+        for chunk_i in range(step):
+            quotient_chunk_mats.append((i, chunk_i, quotient[chunk_i::step]))
+
+    # commit quotient chunks (one tree). Chunk domain shift = g * w_q^i.
+    q_ldes = []
+    for (i, chunk_i, evals) in quotient_chunk_mats:
+        log_n = log_degrees[i]
+        lqd = vks[i].log_quotient_degree
+        w_q = bb.two_adic_generator_int(log_n + lqd)
+        in_shift = (bb.GENERATOR * pow(w_q, chunk_i, P)) % P
+        lde = ntt.coset_lde(evals, lb, shift=bb.GENERATOR, in_shift=in_shift)
+        q_ldes.append(lde)
+    quotient_tree = merkle.commit(q_ldes)
+    challenger.observe_slice(quotient_tree.root)
+
+    zeta_c = challenger.sample_ext()
+    zeta = _ext_scalar(zeta_c)
+
+    # ---- build rounds & open at points --------------------------------
+    def trace_points(i):
+        g_n = bb.two_adic_generator_int(log_degrees[i])
+        zeta_next = ef.scale(zeta, bb.full((), g_n))
+        return [zeta, zeta_next]
+
+    rounds = []
+    # 1. preprocessed rounds
+    for i, (c, vk) in enumerate(zip(ctxs, vks)):
+        apk = pk.per_air[c.air_id]
+        if apk.preprocessed_lde is not None:
+            rounds.append(_Round(
+                tree=apk.preprocessed_tree,
+                mats=[_MatInfo(apk.preprocessed_lde,
+                               log_degrees[i] + lb, trace_points(i))]))
+    # 2. cached main rounds
+    for tree, (i, lde) in zip(cached_trees, cached_ldes):
+        rounds.append(_Round(tree=tree, mats=[
+            _MatInfo(lde, log_degrees[i] + lb, trace_points(i))]))
+    # 2b. common main round
+    rounds.append(_Round(tree=common_tree, mats=[
+        _MatInfo(common_ldes[i], log_degrees[i] + lb, trace_points(i))
+        for i in common_present]))
+    # 3. after-challenge round
+    if num_phases:
+        rounds.append(_Round(tree=perm_tree, mats=[
+            _MatInfo(perm_ldes[i], log_degrees[i] + lb, trace_points(i))
+            for i in perm_order]))
+    # 4. quotient round
+    rounds.append(_Round(tree=quotient_tree, mats=[
+        _MatInfo(q_ldes[k], log_degrees[i] + lb, [zeta])
+        for k, (i, chunk_i, _) in enumerate(quotient_chunk_mats)]))
+
+    # open every mat at its points (barycentric from committed LDE)
+    for rnd in rounds:
+        for mat in rnd.mats:
+            mat.opened = []
+            for z in mat.points:
+                vals = _barycentric_open(mat.lde_bitrev, z, mat.log_lde)
+                mat.opened.append(
+                    np.asarray(bb.from_monty(vals), dtype=np.uint64))
+
+    # observe all opened values (round/mat/point/column order, 4 felts each)
+    for rnd in rounds:
+        for mat in rnd.mats:
+            for opened in mat.opened:
+                challenger.observe_slice(opened.reshape(-1))
+
+    fri_alpha = _ext_scalar(challenger.sample_ext())
+
+    # ---- reduced opening polynomials ----------------------------------
+    log_max = max(log_degrees)
+    log_max_lde = log_max + lb
+    ro_polys = {}
+    ro_alpha_pow = {}
+    max_width = max(int(m.lde_bitrev.shape[1]) for r in rounds for m in r.mats)
+    apows = _alpha_pows(fri_alpha, max_width + 1)
+    for rnd in rounds:
+        for mat in rnd.mats:
+            lh = mat.log_lde
+            h = 1 << lh
+            w = int(mat.lde_bitrev.shape[1])
+            if lh not in ro_polys:
+                ro_polys[lh] = ef.zeros((h,))
+                ro_alpha_pow[lh] = ef.ones(())
+            col_comb = _col_comb(mat.lde_bitrev, apows)  # (H, 4)
+            xs = jnp.asarray(_lde_points(lh, bb.GENERATOR))
+            for z, opened in zip(mat.points, mat.opened):
+                p_at_z_comb = ef.dot(
+                    _ext_scalar(opened), apows[:w], axis=0)  # (4,)
+                num = ef.sub(jnp.broadcast_to(p_at_z_comb, (h, 4)), col_comb)
+                zmx = ef.sub(jnp.broadcast_to(z, (h, 4)), ef.from_base(xs))
+                contrib = ef.mul(num, ef.inv(zmx))
+                contrib = ef.mul(
+                    jnp.broadcast_to(ro_alpha_pow[lh], (h, 4)), contrib)
+                ro_polys[lh] = ef.add(ro_polys[lh], contrib)
+                ro_alpha_pow[lh] = ef.mul(ro_alpha_pow[lh], apows[w])
+
+    # ---- FRI commit phase + PoW + queries ------------------------------
+    trees, betas, final_poly_ct, evals_per_step = fri.commit_phase(
+        ro_polys, log_max_lde, lb, challenger)
+    for felt in final_poly_ct:
+        challenger.observe(felt)
+    pow_witness = challenger.grind(cfg.fri.proof_of_work_bits)
+
+    query_proofs = []
+    for _ in range(cfg.fri.num_queries):
+        index = challenger.sample_bits(log_max_lde)
+        input_proof = []
+        for rnd in rounds:
+            batch_max = max(m.log_lde for m in rnd.mats)
+            reduced_index = index >> (log_max_lde - batch_max)
+            opened_rows, proof_path = merkle.open_row(rnd.tree, reduced_index)
+            input_proof.append(fri.BatchOpening(
+                opened_values=[list(map(int, r)) for r in opened_rows],
+                opening_proof=proof_path))
+        steps = fri.answer_query(index, trees, evals_per_step)
+        query_proofs.append(fri.QueryProof(
+            input_proof=input_proof, commit_phase_openings=steps))
+
+    fri_proof = fri.FriProof(
+        commit_phase_commits=[t.root for t in trees],
+        query_proofs=query_proofs,
+        final_poly=[final_poly_ct],
+        pow_witness=pow_witness)
+
+    # ---- assemble opened-value structure -------------------------------
+    def adjacent(mat: _MatInfo) -> AdjacentOpenedValues:
+        def row_to_exts(arr):
+            return [tuple(int(x) for x in arr[t]) for t in range(arr.shape[0])]
+        return AdjacentOpenedValues(local=row_to_exts(mat.opened[0]),
+                                    next=row_to_exts(mat.opened[1]))
+
+    ridx = 0
+    prep_values = []
+    for i, vk in enumerate(vks):
+        if pk.per_air[ctxs[i].air_id].preprocessed_lde is not None:
+            prep_values.append(adjacent(rounds[ridx].mats[0]))
+            ridx += 1
+    main_values = []
+    for _ in cached_trees:
+        main_values.append([adjacent(rounds[ridx].mats[0])])
+        ridx += 1
+    main_values.append([adjacent(m) for m in rounds[ridx].mats])
+    ridx += 1
+    after_values = []
+    if num_phases:
+        after_values.append([adjacent(m) for m in rounds[ridx].mats])
+        ridx += 1
+    quotient_values = [[] for _ in ctxs]
+    for (i, chunk_i, _), mat in zip(quotient_chunk_mats, rounds[ridx].mats):
+        opened = mat.opened[0]  # (4, 4): 4 base columns opened at zeta (ext)
+        quotient_values[i].append(
+            [tuple(int(x) for x in opened[t]) for t in range(opened.shape[0])])
+    ridx += 1
+
+    # permutation of airs by decreasing height (stable)
+    air_perm_by_height = sorted(range(len(ctxs)),
+                                key=lambda i: -log_degrees[i])
+
+    per_air = [AirProofData(
+        air_id=air_ids[i], log_degree=log_degrees[i],
+        exposed_values_after_challenge=[exposed[i]] if num_phases else [],
+        public_values=[int(v) % P for v in ctxs[i].public_values])
+        for i in range(len(ctxs))]
+
+    return Proof(
+        commitments=Commitments(main_trace=main_commits,
+                                after_challenge=after_challenge_commits,
+                                quotient=quotient_tree.root),
+        opening=Opening(proof=fri_proof, values=OpeningValues(
+            preprocessed=prep_values, main=main_values,
+            after_challenge=after_values, quotient=quotient_values)),
+        per_air=per_air,
+        air_perm_by_height=air_perm_by_height,
+        log_up_pow_witness=log_up_pow_witness)

@@ -1,0 +1,371 @@
+"""Multi-trace STARK verifier (host-side, canonical integers).
+
+Line-by-line mirror of the reference verifier semantics
+(reference extensions/native/recursion/src/stark/mod.rs verify_raps +
+fri/two_adic_pcs.rs verify_two_adic_pcs), which itself ports the
+stark-backend ``MultiTraceStarkVerifier``.  Used in tests to certify the
+TPU prover end-to-end, and as the aggregation-layer verification oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..field import babybear as bb
+from .. import fri as fri_mod
+from .. import merkle
+from ..challenger import DuplexChallenger
+from .config import MAX_TWO_ADICITY
+from .evaluator import HostOps, base, hadd, hinv, hmul, hneg, hsub
+from .keygen import MultiStarkVerifyingKey
+
+P = bb.P
+
+
+class VerificationError(Exception):
+    pass
+
+
+def _check(cond: bool, msg: str):
+    if not cond:
+        raise VerificationError(msg)
+
+
+def _ext_pow(a, e: int):
+    r = base(1)
+    while e:
+        if e & 1:
+            r = hmul(r, a)
+        a = hmul(a, a)
+        e >>= 1
+    return r
+
+
+def verify(vk: MultiStarkVerifyingKey, proof) -> None:
+    """Raises VerificationError on failure."""
+    cfg = vk.config
+    lb = cfg.fri.log_blowup
+    ch = DuplexChallenger()
+
+    per_air = proof.per_air
+    air_ids = [p.air_id for p in per_air]
+    vks = [vk.per_air[a] for a in air_ids]
+    num_airs = len(per_air)
+
+    # ---- preamble ------------------------------------------------------
+    ch.observe_slice(vk.pre_hash)
+    ch.observe(num_airs)
+    for a in air_ids:
+        ch.observe(a)
+
+    # cumulative sums sum to zero
+    if vk.num_phases:
+        total = base(0)
+        for p in per_air:
+            for phase_vals in p.exposed_values_after_challenge:
+                for v in phase_vals:
+                    total = hadd(total, tuple(v))
+        _check(total == base(0), "cumulative sums do not vanish")
+
+    # air_perm_by_height is a perm, decreasing by height
+    perm = proof.air_perm_by_height
+    _check(sorted(perm) == list(range(num_airs)), "invalid air perm")
+    last = MAX_TWO_ADICITY - lb
+    for i in perm:
+        _check(per_air[i].log_degree <= last, "air heights not sorted")
+        last = per_air[i].log_degree
+    log_max = per_air[perm[0]].log_degree
+
+    # trace height constraints
+    for c in vk.trace_height_constraints:
+        total_h = 0
+        for p in per_air:
+            total_h += int(c.coefficients[p.air_id]) * (1 << p.log_degree)
+        _check(total_h < c.threshold, "trace height constraint violated")
+
+    for p, avk in zip(per_air, vks):
+        _check(len(p.public_values) == avk.num_public_values, "pv shape")
+        ch.observe_slice(np.asarray(p.public_values, dtype=np.uint64))
+    for avk in vks:
+        if avk.preprocessed_commit is not None:
+            ch.observe_slice(avk.preprocessed_commit)
+
+    num_cached = sum(len(avk.widths.cached_mains) for avk in vks)
+    _check(len(proof.commitments.main_trace) == num_cached + 1,
+           "main commit count")
+    for commit in proof.commitments.main_trace:
+        ch.observe_slice(commit)
+    for p in per_air:
+        ch.observe(p.log_degree)
+
+    # ---- LogUp phase ---------------------------------------------------
+    challenges = []
+    if vk.num_phases:
+        _check(ch.check_witness(cfg.log_up_pow_bits,
+                                proof.log_up_pow_witness),
+               "logup pow witness")
+        challenges = [tuple(ch.sample_ext()), tuple(ch.sample_ext())]
+        for p, avk in zip(per_air, vks):
+            if avk.num_exposed:
+                vals = p.exposed_values_after_challenge[0]
+                _check(len(vals) == avk.num_exposed, "exposed shape")
+                for v in vals:
+                    ch.observe_ext(np.asarray(v, dtype=np.uint64))
+        _check(len(proof.commitments.after_challenge) == 1,
+               "after-challenge commit count")
+        ch.observe_slice(proof.commitments.after_challenge[0])
+    else:
+        _check(len(proof.commitments.after_challenge) == 0, "no phase")
+
+    alpha = tuple(ch.sample_ext())
+    ch.observe_slice(proof.commitments.quotient)
+    zeta = tuple(ch.sample_ext())
+
+    # ---- build rounds (commit, mats:[(log_lde, width, points, values)]) --
+    vals = proof.opening.values
+    rounds = []
+    prep_idx = 0
+    for i, avk in enumerate(vks):
+        if avk.preprocessed_commit is not None:
+            ao = vals.preprocessed[prep_idx]
+            prep_idx += 1
+            w = avk.widths.preprocessed
+            _check(len(ao.local) == w and len(ao.next) == w, "prep width")
+            rounds.append((avk.preprocessed_commit,
+                           [(per_air[i].log_degree + lb, w,
+                             _points(i, per_air, zeta), [ao.local, ao.next])]))
+    commit_idx = 0
+    for i, avk in enumerate(vks):
+        for w in avk.widths.cached_mains:
+            ao = vals.main[commit_idx][0]
+            _check(len(ao.local) == w and len(ao.next) == w, "cached width")
+            rounds.append((proof.commitments.main_trace[commit_idx],
+                           [(per_air[i].log_degree + lb, w,
+                             _points(i, per_air, zeta), [ao.local, ao.next])]))
+            commit_idx += 1
+    common_mats = []
+    cm_idx = 0
+    for i, avk in enumerate(vks):
+        w = avk.widths.common_main
+        if w:
+            ao = vals.main[num_cached][cm_idx]
+            cm_idx += 1
+            _check(len(ao.local) == w and len(ao.next) == w, "common width")
+            common_mats.append((per_air[i].log_degree + lb, w,
+                                _points(i, per_air, zeta),
+                                [ao.local, ao.next]))
+    rounds.append((proof.commitments.main_trace[num_cached], common_mats))
+    if vk.num_phases:
+        ac_mats = []
+        ac_idx = 0
+        for i, avk in enumerate(vks):
+            if avk.widths.after_challenge:
+                ao = vals.after_challenge[0][ac_idx]
+                ac_idx += 1
+                w = 4 * avk.widths.after_challenge
+                _check(len(ao.local) == w and len(ao.next) == w, "perm width")
+                ac_mats.append((per_air[i].log_degree + lb, w,
+                                _points(i, per_air, zeta),
+                                [ao.local, ao.next]))
+        rounds.append((proof.commitments.after_challenge[0], ac_mats))
+    q_mats = []
+    for i, avk in enumerate(vks):
+        chunks = vals.quotient[i]
+        _check(len(chunks) == avk.quotient_degree, "quotient chunk count")
+        for chunk in chunks:
+            _check(len(chunk) == 4, "quotient chunk width")
+            q_mats.append((per_air[i].log_degree + lb, 4, [zeta], [chunk]))
+    rounds.append((proof.commitments.quotient, q_mats))
+
+    # ---- FRI verification ---------------------------------------------
+    _verify_pcs(cfg, rounds, proof.opening.proof, log_max + lb, ch)
+
+    # ---- per-air constraint checks at zeta -----------------------------
+    prep_idx = 0
+    commit_idx = 0
+    cm_idx = 0
+    ac_idx = 0
+    for i, (p, avk) in enumerate(zip(per_air, vks)):
+        prep_pair = None
+        if avk.preprocessed_commit is not None:
+            ao = vals.preprocessed[prep_idx]
+            prep_idx += 1
+            prep_pair = ([tuple(v) for v in ao.local],
+                         [tuple(v) for v in ao.next])
+        mains = []
+        for _ in avk.widths.cached_mains:
+            ao = vals.main[commit_idx][0]
+            commit_idx += 1
+            mains.append(([tuple(v) for v in ao.local],
+                          [tuple(v) for v in ao.next]))
+        if avk.widths.common_main:
+            ao = vals.main[num_cached][cm_idx]
+            cm_idx += 1
+            mains.append(([tuple(v) for v in ao.local],
+                          [tuple(v) for v in ao.next]))
+        perm_pair = None
+        if avk.widths.after_challenge:
+            ao = vals.after_challenge[0][ac_idx]
+            ac_idx += 1
+            # unflatten: ext value j = sum_c flat[4j+c] * x^c  (monomial basis)
+            def unflatten(flat):
+                out = []
+                for j in range(len(flat) // 4):
+                    acc = base(0)
+                    for c2 in range(4):
+                        mono = tuple(1 if t == c2 else 0 for t in range(4))
+                        acc = hadd(acc, hmul(tuple(flat[4 * j + c2]), mono))
+                    out.append(acc)
+                return out
+            perm_pair = (unflatten(ao.local), unflatten(ao.next))
+
+        _verify_air_constraints(
+            cfg, avk, p, prep_pair, mains, perm_pair, challenges,
+            vals.quotient[i], zeta, alpha)
+
+
+def _points(i, per_air, zeta):
+    g_n = bb.two_adic_generator_int(per_air[i].log_degree)
+    zeta_next = hmul(zeta, base(g_n))
+    return [zeta, zeta_next]
+
+
+def _verify_pcs(cfg, rounds, fri_proof: fri_mod.FriProof, log_max_lde: int,
+                ch: DuplexChallenger) -> None:
+    lb = cfg.fri.log_blowup
+    # observe all opened values
+    for _, mats in rounds:
+        for (_lh, _w, _pts, values) in mats:
+            for value_row in values:
+                for v in value_row:
+                    ch.observe_ext(np.asarray(v, dtype=np.uint64))
+    alpha = tuple(ch.sample_ext())
+
+    _check(len(fri_proof.query_proofs) == cfg.fri.num_queries, "num queries")
+    _check(len(fri_proof.commit_phase_commits) == log_max_lde - lb,
+           "commit phase count")
+    betas = []
+    for commit in fri_proof.commit_phase_commits:
+        ch.observe_slice(np.asarray(commit, dtype=np.uint64))
+        betas.append(tuple(ch.sample_ext()))
+    _check(len(fri_proof.final_poly) == 1, "final poly len")
+    ch.observe_ext(np.asarray(fri_proof.final_poly[0], dtype=np.uint64))
+    _check(ch.check_witness(cfg.fri.proof_of_work_bits,
+                            fri_proof.pow_witness), "fri pow")
+
+    for qp in fri_proof.query_proofs:
+        index = ch.sample_bits(log_max_lde)
+        _check(len(qp.input_proof) == len(rounds), "input proof len")
+        ro = {}
+        alpha_pow = {}
+        for (commit, mats), batch in zip(rounds, qp.input_proof):
+            batch_max = max(lh for (lh, _, _, _) in mats)
+            reduced_index = index >> (log_max_lde - batch_max)
+            # reduced opening accumulation
+            opened_rows = batch.opened_values
+            _check(len(opened_rows) == len(mats), "opened rows len")
+            for (lh, w, pts, values), row in zip(mats, opened_rows):
+                _check(len(row) == w, "row width")
+                row_idx = index >> (log_max_lde - lh)
+                x = (bb.GENERATOR *
+                     pow(bb.two_adic_generator_int(lh),
+                         fri_mod._rev_bits(row_idx, lh), P)) % P
+                cur_ro = ro.setdefault(lh, base(0))
+                cur_ap = alpha_pow.setdefault(lh, base(1))
+                for z, ps_at_z in zip(pts, values):
+                    n_acc = base(0)
+                    apow = base(1)
+                    for t in range(w):
+                        diff = hsub(tuple(ps_at_z[t]), base(int(row[t])))
+                        n_acc = hadd(n_acc, hmul(apow, diff))
+                        apow = hmul(apow, alpha)
+                    quot = hmul(n_acc, hinv(hsub(z, base(x))))
+                    cur_ro = hadd(cur_ro, hmul(cur_ap, quot))
+                    cur_ap = hmul(cur_ap, _ext_pow(alpha, w))
+                ro[lh] = cur_ro
+                alpha_pow[lh] = cur_ap
+            # batch merkle verification (heights sorted desc internally)
+            dims = [(1 << lh, w) for (lh, w, _, _) in mats]
+            ok = merkle.verify_batch(
+                np.asarray(commit, dtype=np.uint64), dims, reduced_index,
+                [np.asarray(r, dtype=np.uint64) for r in opened_rows],
+                batch.opening_proof)
+            _check(ok, "batch opening invalid")
+
+        ok = fri_mod.verify_query_host(
+            cfg, fri_proof.commit_phase_commits, index,
+            qp.commit_phase_openings, betas, ro, log_max_lde,
+            fri_proof.final_poly[0])
+        _check(ok, "fri query invalid")
+
+
+def _verify_air_constraints(cfg, avk, p, prep_pair, mains, perm_pair,
+                            challenges, quotient_chunks, zeta, alpha) -> None:
+    log_n = p.log_degree
+    n = 1 << log_n
+    g_n = bb.two_adic_generator_int(log_n)
+
+    # selectors at zeta (trace domain shift = 1)
+    z_n = _ext_pow(zeta, n)
+    z_h = hsub(z_n, base(1))
+    first = hmul(z_h, hinv(hsub(zeta, base(1))))
+    g_inv = pow(g_n, -1, P)
+    last = hmul(z_h, hinv(hsub(zeta, base(g_inv))))
+    trans = hsub(zeta, base(g_inv))
+    inv_zeroifier = hinv(z_h)
+
+    env = {
+        "main": [( [tuple(v) for v in loc], [tuple(v) for v in nxt])
+                 for (loc, nxt) in mains],
+        "preprocessed": prep_pair,
+        "perm": perm_pair,
+        "publics": [int(v) for v in p.public_values],
+        "challenges": challenges,
+        "exposed": [tuple(v) for v in
+                    (p.exposed_values_after_challenge[0]
+                     if p.exposed_values_after_challenge else [])],
+        "sels": {"is_first_row": first, "is_last_row": last,
+                 "is_transition": trans},
+    }
+    vals = avk.dag.eval(HostOps, env)
+    acc = base(0)
+    for root in avk.dag.constraint_roots:
+        acc = hadd(hmul(acc, alpha), vals[root])
+    folded = hmul(acc, inv_zeroifier)
+
+    # recompute quotient(zeta) from chunks
+    lqd = avk.log_quotient_degree
+    num_chunks = 1 << lqd
+    log_q = log_n + lqd
+    w_q = bb.two_adic_generator_int(log_q)
+    # chunk domain i: shift g * w_q^i, size n
+    zps = []
+    for i in range(num_chunks):
+        acc_zp = base(1)
+        for j in range(num_chunks):
+            if j == i:
+                continue
+            s_j = (bb.GENERATOR * pow(w_q, j, P)) % P
+            # Z_j(x) = (x / s_j)^n - 1
+            zp_zeta = hsub(_ext_pow(hmul(zeta, base(pow(s_j, -1, P))), n),
+                           base(1))
+            s_i = (bb.GENERATOR * pow(w_q, i, P)) % P
+            first_point = base(s_i)
+            zp_first = hsub(
+                _ext_pow(hmul(first_point, base(pow(s_j, -1, P))), n),
+                base(1))
+            acc_zp = hmul(acc_zp, hmul(zp_zeta, hinv(zp_first)))
+        zps.append(acc_zp)
+
+    quotient = base(0)
+    for i, chunk in enumerate(quotient_chunks):
+        inner = base(0)
+        for e_i, c in enumerate(chunk):
+            mono = tuple(1 if t == e_i else 0 for t in range(4))
+            inner = hadd(inner, hmul(mono, tuple(c)))
+        quotient = hadd(quotient, hmul(zps[i], inner))
+
+    _check(folded == quotient,
+           f"constraint check failed for air {avk.name}")

@@ -6,7 +6,10 @@ the real chip.  Must run before jax initializes, hence env vars here.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (a tunneled TPU
+# whose per-op round-trip latency is ruinous for eager tests).  Tests validate
+# numerics/sharding on a local CPU mesh; bench.py uses the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compile cache: tiny uint32 kernels recompile on every pytest
 # process otherwise.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/openvm_tpu_jax_cache")
