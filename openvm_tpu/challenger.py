@@ -67,9 +67,9 @@ class DuplexChallenger:
             self._duplexing()
         return self.output_buffer.pop()
 
-    def sample_ext(self) -> np.ndarray:
+    def sample_ext(self) -> tuple:
         """Sample an extension element (4 base samples, coeff order a0..a3)."""
-        return np.array([self.sample() for _ in range(4)], dtype=np.uint64)
+        return tuple(int(self.sample()) for _ in range(4))
 
     def sample_bits(self, bits: int) -> int:
         return self.sample() & ((1 << bits) - 1)

@@ -118,7 +118,8 @@ def commit_phase(ro_polys: dict, log_max_lde: int, log_blowup: int,
         trees.append(tree)
         challenger.observe_slice(tree.root)
         beta_c = challenger.sample_ext()
-        beta = bb.to_monty(jnp.asarray(beta_c.astype(np.uint32)))
+        beta = bb.to_monty(jnp.asarray(
+            np.asarray(beta_c, dtype=np.uint64).astype(np.uint32)))
         betas.append(beta)
         current = fold_evals(current, beta)
         log_h -= 1

@@ -140,7 +140,7 @@ def hinv(a):
 
     f1, f2, f3 = frob(a, 1), frob(a, 2), frob(a, 3)
     g = hmul(f1, hmul(f2, f3))
-    norm = hmul(a, g)[0]
+    norm = int(hmul(a, g)[0])
     ninv = pow(norm, -1, P)
     return tuple((x * ninv) % P for x in g)
 

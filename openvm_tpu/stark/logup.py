@@ -143,7 +143,8 @@ def build_perm_trace(dag, env, chunks: list[list[int]], challenges):
     """
     from .evaluator import DeviceOps
 
-    vals = dag.eval(DeviceOps, env)
+    roots = [r for (_, frs, cr, _) in dag.interactions for r in frs + [cr]]
+    vals = dag.eval(DeviceOps, env, roots=roots)
     n = env["main"][0].shape[0] if env["main"] else env["preprocessed"].shape[0]
     alpha = challenges[0]
     beta = challenges[1]

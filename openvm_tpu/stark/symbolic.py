@@ -382,14 +382,33 @@ class SymbolicDag:
                 degs[i] = degs[n[1]]
         return max((degs[r] for r in self.constraint_roots), default=0)
 
-    def eval(self, ops, env) -> list:
-        """Evaluate all nodes with a backend `ops` and environment `env`.
+    def eval(self, ops, env, roots=None) -> list:
+        """Evaluate nodes with a backend `ops` and environment `env`.
 
         ops provides: const(v), var(entry, part, offset, index), sel(which),
         add(a,b), sub(a,b), mul(a,b), neg(a).  Returns values per node.
+        If `roots` is given, only the subgraph reachable from those node
+        indices is evaluated (others stay None).
         """
+        if roots is not None:
+            needed = set()
+            stack = list(roots)
+            while stack:
+                i = stack.pop()
+                if i in needed:
+                    continue
+                needed.add(i)
+                n = self.nodes[i]
+                if n[0] in ("add", "sub", "mul"):
+                    stack += [n[1], n[2]]
+                elif n[0] == "neg":
+                    stack.append(n[1])
+            indices = sorted(needed)
+        else:
+            indices = range(len(self.nodes))
         vals: list[Any] = [None] * len(self.nodes)
-        for i, n in enumerate(self.nodes):
+        for i in indices:
+            n = self.nodes[i]
             op = n[0]
             if op == "const":
                 vals[i] = ops.const(n[1])
