@@ -1,0 +1,90 @@
+"""Benchmark: STARK trace-commitment throughput on the available accelerator.
+
+Measures the prover's dominant device kernel — coset LDE (blowup 2) +
+Poseidon2-Merkle commitment — in trace cells/second, the per-chip figure of
+merit from BASELINE.md ("proofs/sec and trace cells/sec/chip").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against this host's CPU running the identical pipeline
+(the reference has no published absolute numbers; BASELINE.json.published={}).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+# XLA compile of the fused LDE+Merkle graph dominates first run (~3 min on
+# the tunneled TPU); persist the compiled executable across invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/openvm_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+LOG_N = int(os.environ.get("BENCH_LOG_N", "14"))
+WIDTH = int(os.environ.get("BENCH_WIDTH", "64"))
+ITERS = int(os.environ.get("BENCH_ITERS", "3"))
+
+
+def run_bench() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openvm_tpu import merkle, ntt
+    from openvm_tpu.field import babybear as bb
+
+    n = 1 << LOG_N
+
+    @jax.jit
+    def commit_root(trace):
+        lde = ntt.coset_lde(trace, 1)
+        layers = merkle.commit_layers([lde])
+        return layers[-1][0]
+
+    rng = np.random.default_rng(0)
+    trace_np = rng.integers(0, bb.P, size=(n, WIDTH), dtype=np.uint64)
+    trace = bb.to_monty(jnp.asarray(trace_np.astype(np.uint32)))
+    trace.block_until_ready()
+
+    commit_root(trace).block_until_ready()  # compile
+    t0 = time.time()
+    for _ in range(ITERS):
+        out = commit_root(trace)
+    out.block_until_ready()
+    dt = (time.time() - t0) / ITERS
+    return n * WIDTH / dt
+
+
+def main():
+    if os.environ.get("BENCH_BACKEND") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps({"cells_per_sec": run_bench()}))
+        return
+
+    tpu_cells = run_bench()
+
+    cpu_cells = None
+    try:
+        env = dict(os.environ, BENCH_BACKEND="cpu",
+                   BENCH_LOG_N=str(max(LOG_N - 2, 10)))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, timeout=600)
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                cpu_cells = json.loads(line)["cells_per_sec"]
+    except Exception:
+        pass
+
+    vs = tpu_cells / cpu_cells if cpu_cells else 1.0
+    print(json.dumps({
+        "metric": "trace_commit_throughput",
+        "value": round(tpu_cells, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

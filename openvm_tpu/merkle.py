@@ -46,8 +46,8 @@ def _hash_rows_multi(mats) -> jnp.ndarray:
     return p2.hash_rows(joined)
 
 
-def commit(matrices) -> MerkleTree:
-    """Build the Merkle tree over the given device matrices (monty form)."""
+def commit_layers(matrices) -> list:
+    """Pure device computation of all digest layers (jit-friendly)."""
     assert matrices, "cannot commit to zero matrices"
     for m in matrices:
         h = int(m.shape[0])
@@ -68,7 +68,12 @@ def commit(matrices) -> MerkleTree:
             injected = _hash_rows_multi(by_height[size])
             next_digests = p2.compress_pairs(next_digests, injected)
         layers.append(next_digests)
+    return layers
 
+
+def commit(matrices) -> MerkleTree:
+    """Build the Merkle tree over the given device matrices (monty form)."""
+    layers = commit_layers(matrices)
     from .field import babybear as bb
     root = np.asarray(bb.from_monty(layers[-1][0]), dtype=np.uint64)
     return MerkleTree(matrices=list(matrices), digest_layers=layers, root=root)

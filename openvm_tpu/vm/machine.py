@@ -1,0 +1,264 @@
+"""VirtualMachine: config, keygen, prove, verify.
+
+The L4 glue (reference crates/vm/src/arch/vm.rs VirtualMachine /
+VmExecutor / verify_single): assembles the system + RV32IM AIR set, runs
+preflight execution, builds all traces (vectorized numpy -> device), derives
+every lookup-table multiplicity by evaluating the interaction DAGs over the
+built traces (generically — tracegen can never desync from the AIRs), and
+drives the L1 STARK prover.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..field import babybear as bb
+from ..stark import (AirProvingContext, StarkConfig, keygen as stark_keygen,
+                     prove as stark_prove, verify as stark_verify)
+from ..stark.evaluator import DeviceOps
+from .. import merkle, ntt
+from .circuit import buses as B
+from .circuit.rv32im import (AuipcAir, BaseAluAir, BranchEqAir, BranchLtAir,
+                             JalLuiAir, JalrAir, LessThanAir, LoadStoreAir,
+                             _pad_pow2)
+from .circuit.system import (BitwiseLookupAir, ConnectorAir, PhantomAir,
+                             ProgramAir, PublicValuesAir, RangeCheckerAir,
+                             VolatileBoundaryAir, connector_trace,
+                             program_cached_trace)
+from .preflight import PreflightInterpreter
+from .instructions import VmExe
+
+P = 2013265921
+
+
+@dataclass
+class Rv32Config:
+    num_pv_words: int = 8
+    stark: StarkConfig = None
+
+    def __post_init__(self):
+        if self.stark is None:
+            from ..stark import FriParameters
+            self.stark = StarkConfig(
+                fri=FriParameters(log_blowup=1, num_queries=33,
+                                  proof_of_work_bits=16))
+
+
+class VirtualMachine:
+    def __init__(self, config: Rv32Config | None = None):
+        self.config = config or Rv32Config()
+        self.airs = [
+            ProgramAir(), ConnectorAir(),
+            PublicValuesAir(self.config.num_pv_words),
+            VolatileBoundaryAir(), RangeCheckerAir(), BitwiseLookupAir(),
+            PhantomAir(), BaseAluAir(), LessThanAir(), BranchEqAir(),
+            BranchLtAir(), JalLuiAir(), JalrAir(), AuipcAir(),
+            LoadStoreAir(),
+        ]
+        self.air_index = {a.name: i for i, a in enumerate(self.airs)}
+        self.pk = None
+
+    def keygen(self):
+        self.pk = stark_keygen(self.airs, self.config.stark)
+        return self.pk
+
+    # -- commitment of the executable (program ROM cached trace) ---------
+    def commit_exe(self, exe: VmExe) -> np.ndarray:
+        import jax.numpy as jnp
+        cached = program_cached_trace(exe.program)
+        dev = bb.to_monty(jnp.asarray(cached.astype(np.uint32)))
+        lde = ntt.coset_lde(dev, self.config.stark.fri.log_blowup)
+        return merkle.commit([lde]).root
+
+    # -- proving ---------------------------------------------------------
+    def prove(self, exe: VmExe, inputs=None, max_insns=None, debug=False):
+        assert self.pk is not None, "call keygen() first"
+        pre = PreflightInterpreter(
+            exe, self.config.num_pv_words).execute(inputs, max_insns)
+
+        traces: dict[str, np.ndarray] = {}
+        # program: cached [pc|opcode|operands], common [mult]
+        cached = program_cached_trace(exe.program)
+        mult = np.zeros((len(cached), 1), dtype=np.uint64)
+        for idx, cnt in pre.exec_counts.items():
+            mult[idx, 0] = cnt
+        # terminate row itself is never fetched
+        traces["program"] = mult
+        program_cached = cached
+
+        traces["connector"] = connector_trace(
+            exe.pc_start, pre.final_pc, pre.final_ts, pre.exit_code,
+            1 if pre.exit_code is not None else 0)
+
+        # public values air: data + final ts per word
+        npv = self.config.num_pv_words
+        pvt = np.zeros((npv, self.airs[2].width), dtype=np.uint64)
+        for i in range(npv):
+            w = pre.touched.get((3, i))
+            if w:
+                pvt[i, :4] = w[:4]
+                pvt[i, 4] = w[4]
+        traces["public_values"] = pvt
+
+        # boundary: touched words in AS 1 and 2, sorted by key
+        entries = sorted((k, v) for k, v in pre.touched.items()
+                         if k[0] in (1, 2))
+        brows = np.zeros((max(len(entries), 1), self.airs[3].width),
+                         dtype=np.uint64)
+        for r, ((a_s, wa), w) in enumerate(entries):
+            init = pre.init_words[(a_s, wa)]
+            brows[r, 0] = 1
+            brows[r, 1] = a_s
+            brows[r, 2] = wa
+            brows[r, 3:7] = init
+            brows[r, 7:11] = w[:4]
+            brows[r, 11] = w[4]
+        keys = [a_s * (1 << 27) + wa for ((a_s, wa), _) in entries]
+        for r in range(len(entries) - 1):
+            d = keys[r + 1] - keys[r] - 1
+            brows[r, 12] = d & 0xFFFF
+            brows[r, 13] = d >> 16
+            brows[r, 14] = 1  # has_next_valid
+        traces["memory_boundary"] = _pad_pow2(brows)
+
+        # phantom
+        ph = pre.records.get("phantom")
+        if ph:
+            n = len(ph["pc"])
+            pt = np.zeros((n, self.airs[6].width), dtype=np.uint64)
+            pt[:, 0] = 1
+            pt[:, 1] = ph["pc"]
+            pt[:, 2] = ph["ts"]
+            pt[:, 3] = ph["a"]
+            pt[:, 4] = ph["b"]
+            pt[:, 5] = ph["c"]
+            traces["phantom"] = _pad_pow2(pt)
+        else:
+            traces["phantom"] = np.zeros((1, self.airs[6].width),
+                                         dtype=np.uint64)
+
+        # executor chips
+        for air in self.airs[7:]:
+            rec = pre.records.get(air.name)
+            if rec:
+                traces[air.name] = air.trace(rec)
+            else:
+                traces[air.name] = np.zeros((1, air.width), dtype=np.uint64)
+
+        # lookup multiplicities from the interaction DAGs (generic)
+        range_mult, bitwise_mult = self._lookup_multiplicities(traces,
+                                                              program_cached)
+        traces["range_checker"] = range_mult
+        traces["bitwise_lookup"] = bitwise_mult
+
+        ctxs = []
+        for i, air in enumerate(self.airs):
+            kwargs = dict(air_id=i, common_main=traces[air.name])
+            if air.name == "program":
+                kwargs["cached_mains"] = [program_cached]
+            if air.name == "connector":
+                kwargs["public_values"] = [
+                    exe.pc_start, pre.final_pc, pre.exit_code or 0,
+                    1 if pre.exit_code is not None else 0]
+            if air.name == "public_values":
+                kwargs["public_values"] = list(pre.public_values)
+            ctxs.append(AirProvingContext(**kwargs))
+
+        if debug:
+            from ..stark.debug import check_constraints
+            check_constraints(self.pk, ctxs)
+
+        proof = stark_prove(self.pk, ctxs)
+        return proof, pre
+
+    def _lookup_multiplicities(self, traces, program_cached):
+        """Evaluate every AIR's RANGE/BITWISE sends over its built trace."""
+        import jax.numpy as jnp
+
+        range_air: RangeCheckerAir = self.airs[4]
+        range_h = len(range_air.preprocessed_trace())
+        range_mult = np.zeros(range_h, dtype=np.uint64)
+        bitwise_mult = np.zeros((1 << 16, 2), dtype=np.uint64)
+
+        for i, air in enumerate(self.airs):
+            vk = self.pk.vk.per_air[i]
+            dag = vk.dag
+            sends = [(bus, frs, cr) for (bus, frs, cr, is_send)
+                     in dag.interactions
+                     if is_send and bus in (B.RANGE_BUS, B.BITWISE_BUS)]
+            if not sends:
+                continue
+            trace = traces[air.name]
+            n = len(trace)
+            dev = bb.to_monty(jnp.asarray((trace % P).astype(np.uint32)))
+            env = {
+                "main": ([bb.to_monty(jnp.asarray(
+                    (program_cached % P).astype(np.uint32))), dev]
+                    if air.name == "program" else [dev]),
+                "preprocessed": None,
+                "perm": None,
+                "publics": jnp.zeros((64,), jnp.uint32),
+                "challenges": jnp.zeros((2, 4), jnp.uint32),
+                "exposed": jnp.zeros((1, 4), jnp.uint32),
+                "sels": {
+                    "is_first_row": bb.zeros((n,)),
+                    "is_last_row": bb.zeros((n,)),
+                    "is_transition": bb.zeros((n,)),
+                },
+                "next_step": 1,
+            }
+            prep = self.pk.per_air[i].preprocessed_trace
+            if prep is not None:
+                env["preprocessed"] = prep
+            roots = [r for (_, frs, cr) in sends for r in frs + [cr]]
+            vals = dag.eval(DeviceOps, env, roots=roots)
+
+            def col(root):
+                tag, v = vals[root]
+                arr = np.asarray(bb.from_monty(v), dtype=np.uint64)
+                return np.broadcast_to(arr, (n,))
+
+            for (bus, frs, cr) in sends:
+                fields = [col(r) for r in frs]
+                counts = col(cr)
+                nz = counts != 0
+                if not nz.any():
+                    continue
+                if bus == B.RANGE_BUS:
+                    value, bits = fields[0][nz], fields[1][nz]
+                    idxs = np.where(bits == 0, 0,
+                                    (1 << bits.astype(np.int64)) - 1
+                                    + value.astype(np.int64))
+                    np.add.at(range_mult, idxs, counts[nz])
+                else:
+                    x, y = fields[0][nz], fields[1][nz]
+                    is_xor = fields[3][nz]
+                    idxs = (x * 256 + y).astype(np.int64)
+                    np.add.at(bitwise_mult, (idxs, is_xor.astype(np.int64)),
+                              counts[nz])
+        return range_mult[:, None], bitwise_mult
+
+    # -- verification ----------------------------------------------------
+    def verify(self, proof, expected_exe_commit=None):
+        stark_verify(self.pk.vk, proof)
+        # all airs must be present, in order
+        assert [p.air_id for p in proof.per_air] == list(
+            range(len(self.airs))), "missing AIRs"
+        conn = proof.per_air[self.air_index["connector"]]
+        assert conn.public_values[3] == 1, "program did not terminate"
+        assert conn.public_values[2] == 0, \
+            f"exit code {conn.public_values[2]}"
+        if expected_exe_commit is not None:
+            got = np.asarray(proof.commitments.main_trace[0],
+                             dtype=np.uint64)
+            assert np.array_equal(got, np.asarray(expected_exe_commit,
+                                                  dtype=np.uint64)), \
+                "program commitment mismatch"
+        pv_air = proof.per_air[self.air_index["public_values"]]
+        return {
+            "initial_pc": conn.public_values[0],
+            "final_pc": conn.public_values[1],
+            "public_values": pv_air.public_values,
+        }
