@@ -163,13 +163,30 @@ def full(shape, value: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=1)
 def exp_u64(base: jnp.ndarray, e: int) -> jnp.ndarray:
-    """base^e for a static python exponent (square-and-multiply, unrolled)."""
-    result = ones(base.shape)
-    while e > 0:
-        if e & 1:
-            result = mul(result, base)
-        base = mul(base, base)
-        e >>= 1
+    """base^e for a static python exponent.
+
+    Short exponents unroll; long ones run as a lax.scan over the bit string
+    (compile-time matters: the unrolled 31-bit Fermat-inverse chain shows up
+    inside many jitted pipelines).
+    """
+    if e < (1 << 8):
+        result = ones(base.shape)
+        while e > 0:
+            if e & 1:
+                result = mul(result, base)
+            base = mul(base, base)
+            e >>= 1
+        return result
+
+    bits = jnp.asarray(np.array([(e >> i) & 1 for i in range(e.bit_length())],
+                                dtype=np.uint32))
+
+    def body(carry, bit):
+        acc, b = carry
+        acc = jnp.where(bit != 0, mul(acc, b), acc)
+        return (acc, mul(b, b)), None
+
+    (result, _), _ = jax.lax.scan(body, (ones(base.shape), base), bits)
     return result
 
 

@@ -71,6 +71,10 @@ def _fold_xs(log_h: int) -> np.ndarray:
     return pows
 
 
+import jax
+
+
+@jax.jit
 def fold_evals(evals: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
     """One fold: evals (H, 4) ext monty bitrev order -> (H/2, 4).
 

@@ -71,9 +71,14 @@ def commit_layers(matrices) -> list:
     return layers
 
 
+import jax
+
+_commit_layers_jit = jax.jit(commit_layers)
+
+
 def commit(matrices) -> MerkleTree:
     """Build the Merkle tree over the given device matrices (monty form)."""
-    layers = commit_layers(matrices)
+    layers = _commit_layers_jit(list(matrices))
     from .field import babybear as bb
     root = np.asarray(bb.from_monty(layers[-1][0]), dtype=np.uint64)
     return MerkleTree(matrices=list(matrices), digest_layers=layers, root=root)

@@ -10,8 +10,10 @@ quotient evaluation, FRI folds, barycentric opens) runs on device via JAX.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,6 +113,7 @@ def _alpha_pows(alpha: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.stack(pows) if n > 0 else ef.zeros((0,))
 
 
+@functools.partial(jax.jit, static_argnums=2)
 def _col_comb(matrix: jnp.ndarray, alpha_pows: jnp.ndarray,
               chunk_rows: int = 1 << 16) -> jnp.ndarray:
     """sum_t alpha^t * M[:, t] -> (N, 4) ext monty (chunked over rows)."""
@@ -121,9 +124,6 @@ def _col_comb(matrix: jnp.ndarray, alpha_pows: jnp.ndarray,
         prod = bb.mul(block[:, :, None], alpha_pows[None, :w, :])  # (R, W, 4)
         out.append(bb.sum_mod(prod, axis=1))
     return jnp.concatenate(out, axis=0)
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=None)
@@ -139,6 +139,7 @@ def _lde_points(log_size: int, shift: int) -> np.ndarray:
     return pts[ntt.bitrev_perm(log_size)]
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def _barycentric_open(lde_bitrev: jnp.ndarray, z: jnp.ndarray,
                       log_lde: int, shift: int = bb.GENERATOR) -> jnp.ndarray:
     """Evaluate all column polys at ext point z from LDE evals (bitrev).
@@ -230,6 +231,18 @@ class _Round:
 
 def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
     """Prove the given AIR instances. ctxs: list[AirProvingContext]."""
+    import os
+    import time
+
+    _t0 = [time.time()]
+    _timing = os.environ.get("OPENVM_TPU_TIMING")
+
+    def _mark(stage):
+        if _timing:
+            now = time.time()
+            print(f"[prove] {stage}: {now - _t0[0]:.1f}s", flush=True)
+            _t0[0] = now
+
     cfg = pk.vk.config
     lb = cfg.fri.log_blowup
     challenger = DuplexChallenger()
@@ -250,19 +263,22 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
     log_degrees = [h.bit_length() - 1 for h in heights]
     assert all(ld + lb <= MAX_TWO_ADICITY for ld in log_degrees)
 
-    # ---- commit main traces -------------------------------------------
-    cached_trees = []  # (air_pos, mat) order
-    cached_ldes = []
-    for i, cas in enumerate(cacheds):
-        for m in cas:
-            lde = ntt.coset_lde(m, lb)
-            tree = merkle.commit([lde])
-            cached_trees.append(tree)
-            cached_ldes.append((i, lde))
+    # ---- commit main traces (tree builds compile-parallel) -------------
+    from concurrent.futures import ThreadPoolExecutor
+    _pool = ThreadPoolExecutor(max_workers=4)
+
+    cached_inputs = [(i, m) for i, cas in enumerate(cacheds) for m in cas]
+    cached_ldes = [(i, ntt.coset_lde(m, lb)) for (i, m) in cached_inputs]
     common_ldes = [ntt.coset_lde(m, lb) if m is not None else None
                    for m in commons]
     common_present = [i for i, m in enumerate(common_ldes) if m is not None]
-    common_tree = merkle.commit([common_ldes[i] for i in common_present])
+    _tree_futs = [_pool.submit(merkle.commit, [lde])
+                  for (_, lde) in cached_ldes]
+    _common_fut = _pool.submit(merkle.commit,
+                               [common_ldes[i] for i in common_present])
+    cached_trees = [f.result() for f in _tree_futs]
+    common_tree = _common_fut.result()
+    _mark("main commits")
 
     main_commits = [t.root for t in cached_trees] + [common_tree.root]
 
@@ -295,26 +311,33 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         ch0 = challenger.sample_ext()
         ch1 = challenger.sample_ext()
         challenges_dev = jnp.stack([_ext_scalar(ch0), _ext_scalar(ch1)])
-        for i, (c, vk) in enumerate(zip(ctxs, vks)):
-            if not vk.widths.after_challenge:
-                continue
-            env = {
-                "main": cacheds[i] + ([commons[i]] if commons[i] is not None
-                                      else []),
-                "preprocessed": pk.per_air[c.air_id].preprocessed_trace,
-                "perm": None,
-                "publics": bb.to_monty(jnp.asarray(
-                    np.asarray(c.public_values, dtype=np.uint64)
-                    .astype(np.uint32))) if c.public_values else
-                    jnp.zeros((0,), jnp.uint32),
-                "challenges": challenges_dev,
-                "exposed": ef.zeros((1,)),
-                "sels": None,
-                "next_step": 1,
-            }
-            perm, cumsum = build_perm_trace(vk.dag, env,
-                                            vk.interaction_chunks,
-                                            challenges_dev)
+
+        def build_one_perm(i, c, vk):
+            publics_m = bb.to_monty(jnp.asarray(
+                np.asarray(c.public_values, dtype=np.uint64)
+                .astype(np.uint32))) if c.public_values else \
+                jnp.zeros((0,), jnp.uint32)
+
+            def perm_closure(mains, prep, publics, chs, dag=vk.dag,
+                             chunks=vk.interaction_chunks):
+                env = {"main": mains, "preprocessed": prep, "perm": None,
+                       "publics": publics, "challenges": chs,
+                       "exposed": ef.zeros((1,)), "sels": None,
+                       "next_step": 1}
+                return build_perm_trace(dag, env, chunks, chs)
+
+            return jax.jit(perm_closure)(
+                cacheds[i] + ([commons[i]] if commons[i] is not None
+                              else []),
+                pk.per_air[c.air_id].preprocessed_trace,
+                publics_m, challenges_dev)
+
+        perm_futs = {
+            i: _pool.submit(build_one_perm, i, c, vk)
+            for i, (c, vk) in enumerate(zip(ctxs, vks))
+            if vk.widths.after_challenge}
+        for i in sorted(perm_futs):
+            perm, cumsum = perm_futs[i].result()
             perm_traces[i] = perm
             cum_host = np.asarray(bb.from_monty(cumsum), dtype=np.uint64)
             exposed[i] = [tuple(int(x) for x in cum_host)]
@@ -329,12 +352,14 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         perm_order = []
         perm_tree = None
 
+    _mark("logup phase")
     alpha_c = challenger.sample_ext()
     alpha = _ext_scalar(alpha_c)
 
-    # ---- quotient ------------------------------------------------------
+    # ---- quotient (per-air evals compile-parallel) ---------------------
     quotient_chunk_mats = []  # [(air_pos, chunk_idx, (N,4) natural evals)]
-    for i, (c, vk) in enumerate(zip(ctxs, vks)):
+
+    def compute_quotient(i, c, vk):
         lqd = vk.log_quotient_degree
         log_n = log_degrees[i]
         log_q = log_n + lqd
@@ -345,52 +370,62 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
             sub = lde_bitrev[: 1 << log_q]
             return ntt.bitrev_rows(sub)  # natural order on quotient domain
 
-        env = {
-            "main": [q_slice(lde) for (j, lde) in cached_ldes if j == i]
-            + ([q_slice(common_ldes[i])] if common_ldes[i] is not None
-               else []),
-            "preprocessed": (q_slice(pk.per_air[c.air_id].preprocessed_lde)
-                             if pk.per_air[c.air_id].preprocessed_lde
-                             is not None else None),
-            "perm": q_slice(perm_ldes[i]) if i in perm_ldes else None,
-            "publics": bb.to_monty(jnp.asarray(
+        sels = _selectors_on_domain(log_n, log_q, bb.GENERATOR)
+
+        def quotient_closure(mains, prep, perm, publics, chs, expo, sels_a,
+                             alpha_a, dag=vk.dag, log_q=log_q, step=step):
+            env = {"main": [q_slice(m) for m in mains],
+                   "preprocessed": (q_slice(prep) if prep is not None
+                                    else None),
+                   "perm": q_slice(perm) if perm is not None else None,
+                   "publics": publics, "challenges": chs, "exposed": expo,
+                   "sels": sels_a, "next_step": step}
+            vals = dag.eval(DeviceOps, env)
+            acc = ef.zeros((1 << log_q,))
+            for root in dag.constraint_roots:
+                tag, v = vals[root]
+                acc = ef.mul(acc, jnp.broadcast_to(alpha_a, acc.shape))
+                if tag == "b":
+                    acc = ef.add(acc, ef.from_base(jnp.broadcast_to(
+                        v, (1 << log_q,))))
+                else:
+                    acc = ef.add(acc, jnp.broadcast_to(v, acc.shape))
+            return ef.scale(acc, sels_a["inv_zeroifier"])
+
+        quotient = jax.jit(quotient_closure)(
+            [lde for (j, lde) in cached_ldes if j == i]
+            + ([common_ldes[i]] if common_ldes[i] is not None else []),
+            pk.per_air[c.air_id].preprocessed_lde,
+            perm_ldes.get(i),
+            bb.to_monty(jnp.asarray(
                 np.asarray(c.public_values, dtype=np.uint64)
                 .astype(np.uint32))) if c.public_values else
-                jnp.zeros((0,), jnp.uint32),
-            "challenges": challenges_dev if challenges_dev is not None
-            else ef.zeros((2,)),
-            "exposed": (_ext_scalar(exposed[i][0])[None, :] if exposed[i]
-                        else ef.zeros((1,))),
-            "sels": None,
-            "next_step": step,
-        }
-        sels = _selectors_on_domain(log_n, log_q, bb.GENERATOR)
-        env["sels"] = sels
+            jnp.zeros((0,), jnp.uint32),
+            challenges_dev if challenges_dev is not None else ef.zeros((2,)),
+            (_ext_scalar(exposed[i][0])[None, :] if exposed[i]
+             else ef.zeros((1,))),
+            sels, alpha)
+        return [(i, chunk_i, quotient[chunk_i::step])
+                for chunk_i in range(step)]
 
-        vals = vk.dag.eval(DeviceOps, env)
-        acc = ef.zeros((1 << log_q,))
-        for root in vk.dag.constraint_roots:
-            tag, v = vals[root]
-            acc = ef.mul(acc, jnp.broadcast_to(alpha, acc.shape))
-            if tag == "b":
-                acc = ef.add(acc, ef.from_base(jnp.broadcast_to(
-                    v, (1 << log_q,))))
-            else:
-                acc = ef.add(acc, jnp.broadcast_to(v, acc.shape))
-        quotient = ef.scale(acc, sels["inv_zeroifier"])  # (2^log_q, 4)
-        for chunk_i in range(step):
-            quotient_chunk_mats.append((i, chunk_i, quotient[chunk_i::step]))
+    _q_futs = [_pool.submit(compute_quotient, i, c, vk)
+               for i, (c, vk) in enumerate(zip(ctxs, vks))]
+    for fut in _q_futs:
+        quotient_chunk_mats.extend(fut.result())
 
     # commit quotient chunks (one tree). Chunk domain shift = g * w_q^i.
-    q_ldes = []
-    for (i, chunk_i, evals) in quotient_chunk_mats:
+    def q_lde(args):
+        i, chunk_i, evals = args
         log_n = log_degrees[i]
         lqd = vks[i].log_quotient_degree
         w_q = bb.two_adic_generator_int(log_n + lqd)
         in_shift = (bb.GENERATOR * pow(w_q, chunk_i, P)) % P
-        lde = ntt.coset_lde(evals, lb, shift=bb.GENERATOR, in_shift=in_shift)
-        q_ldes.append(lde)
+        return ntt.coset_lde(evals, lb, shift=bb.GENERATOR,
+                             in_shift=in_shift)
+
+    q_ldes = list(_pool.map(q_lde, quotient_chunk_mats))
     quotient_tree = merkle.commit(q_ldes)
+    _mark("quotient")
     challenger.observe_slice(quotient_tree.root)
 
     zeta_c = challenger.sample_ext()
@@ -430,13 +465,14 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         for k, (i, chunk_i, _) in enumerate(quotient_chunk_mats)]))
 
     # open every mat at its points (barycentric from committed LDE)
-    for rnd in rounds:
-        for mat in rnd.mats:
-            mat.opened = []
-            for z in mat.points:
-                vals = _barycentric_open(mat.lde_bitrev, z, mat.log_lde)
-                mat.opened.append(
-                    np.asarray(bb.from_monty(vals), dtype=np.uint64))
+    def open_mat(mat):
+        mat.opened = []
+        for z in mat.points:
+            vals = _barycentric_open(mat.lde_bitrev, z, mat.log_lde)
+            mat.opened.append(
+                np.asarray(bb.from_monty(vals), dtype=np.uint64))
+
+    list(_pool.map(open_mat, [m for rnd in rounds for m in rnd.mats]))
 
     # observe all opened values (round/mat/point/column order, 4 felts each)
     for rnd in rounds:
@@ -444,6 +480,7 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
             for opened in mat.opened:
                 challenger.observe_slice(opened.reshape(-1))
 
+    _mark("opened values")
     fri_alpha = _ext_scalar(challenger.sample_ext())
 
     # ---- reduced opening polynomials ----------------------------------
@@ -475,12 +512,14 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
                 ro_alpha_pow[lh] = ef.mul(ro_alpha_pow[lh], apows[w])
 
     # ---- FRI commit phase + PoW + queries ------------------------------
+    _mark("reduced openings")
     trees, betas, final_poly_ct, evals_per_step = fri.commit_phase(
         ro_polys, log_max_lde, lb, challenger)
     for felt in final_poly_ct:
         challenger.observe(felt)
     pow_witness = challenger.grind(cfg.fri.proof_of_work_bits)
 
+    _mark("fri commit phase + pow")
     query_proofs = []
     for _ in range(cfg.fri.num_queries):
         index = challenger.sample_bits(log_max_lde)
@@ -496,6 +535,7 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         query_proofs.append(fri.QueryProof(
             input_proof=input_proof, commit_phase_openings=steps))
 
+    _mark("queries")
     fri_proof = fri.FriProof(
         commit_phase_commits=[t.root for t in trees],
         query_proofs=query_proofs,

@@ -22,6 +22,7 @@ from .. import merkle, ntt
 from .circuit import buses as B
 from .circuit.rv32im import (AuipcAir, BaseAluAir, BranchEqAir, BranchLtAir,
                              JalLuiAir, JalrAir, LessThanAir, LoadStoreAir,
+                             DivRemAir, HintStoreAir, MulAir, ShiftAir,
                              _pad_pow2)
 from .circuit.system import (BitwiseLookupAir, ConnectorAir, PhantomAir,
                              ProgramAir, PublicValuesAir, RangeCheckerAir,
@@ -55,7 +56,8 @@ class VirtualMachine:
             VolatileBoundaryAir(), RangeCheckerAir(), BitwiseLookupAir(),
             PhantomAir(), BaseAluAir(), LessThanAir(), BranchEqAir(),
             BranchLtAir(), JalLuiAir(), JalrAir(), AuipcAir(),
-            LoadStoreAir(),
+            LoadStoreAir(), ShiftAir(), MulAir(), DivRemAir(),
+            HintStoreAir(),
         ]
         self.air_index = {a.name: i for i, a in enumerate(self.airs)}
         self.pk = None

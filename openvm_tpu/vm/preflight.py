@@ -148,6 +148,81 @@ class PreflightInterpreter:
                         p_tsw=pw, prevw=prevw)
                 pc, ts = pc + 4, ts + 3
 
+            elif ShiftOpcode.SLL <= op <= ShiftOpcode.SRA:
+                r = recs["rv32_shift"]
+                is_imm = int(e == 0)
+                rs1, p1 = reg_read(b // 4, 0)
+                if is_imm:
+                    rs2, p2 = [c & 31, 0, 0, 0], 0
+                else:
+                    rs2, p2 = reg_read(c // 4, 1)
+                x = _from_limbs(rs1)
+                s = rs2[0] & 31
+                oi = op - ShiftOpcode.SLL
+                if oi == 0:
+                    val = (x << s) & M32
+                elif oi == 1:
+                    val = x >> s
+                else:
+                    val = (_s32(x) >> s) & M32
+                rd = _u32_limbs(val)
+                prevw, pw = mem.write(1, a // 4, rd, ts + 2)
+                _append(r, pc=pc, ts=ts, op_idx=oi, is_imm=is_imm,
+                        a=a // 4, b=b // 4, c=(c if is_imm else c // 4),
+                        rs1=rs1, rs2=rs2, rd=rd, p_ts1=p1, p_ts2=p2,
+                        p_tsw=pw, prevw=prevw)
+                pc, ts = pc + 4, ts + 3
+
+            elif (op == MulOpcode.MUL
+                  or MulHOpcode.MULH <= op <= MulHOpcode.MULHU):
+                r = recs["rv32_mul"]
+                rs1, p1 = reg_read(b // 4, 0)
+                rs2, p2 = reg_read(c // 4, 1)
+                x, y = _from_limbs(rs1), _from_limbs(rs2)
+                if op == MulOpcode.MUL:
+                    oi, val = 0, (x * y) & M32
+                elif op == MulHOpcode.MULH:
+                    oi, val = 1, ((_s32(x) * _s32(y)) >> 32) & M32
+                elif op == MulHOpcode.MULHSU:
+                    oi, val = 2, ((_s32(x) * y) >> 32) & M32
+                else:
+                    oi, val = 3, ((x * y) >> 32) & M32
+                rd = _u32_limbs(val)
+                prevw, pw = mem.write(1, a // 4, rd, ts + 2)
+                _append(r, pc=pc, ts=ts, op_idx=oi, a=a // 4, b=b // 4,
+                        c=c // 4, rs1=rs1, rs2=rs2, rd=rd, p_ts1=p1,
+                        p_ts2=p2, p_tsw=pw, prevw=prevw)
+                pc, ts = pc + 4, ts + 3
+
+            elif DivRemOpcode.DIV <= op <= DivRemOpcode.REMU:
+                r = recs["rv32_div_rem"]
+                rs1, p1 = reg_read(b // 4, 0)
+                rs2, p2 = reg_read(c // 4, 1)
+                x, y = _from_limbs(rs1), _from_limbs(rs2)
+                oi = op - DivRemOpcode.DIV
+                signed = oi in (0, 2)
+                if y == 0:
+                    qv, rv = M32, x
+                elif signed and x == 0x80000000 and y == M32:
+                    qv, rv = 0x80000000, 0
+                elif signed:
+                    sx_, sy_ = _s32(x), _s32(y)
+                    qv = abs(sx_) // abs(sy_)
+                    if (sx_ < 0) != (sy_ < 0):
+                        qv = -qv
+                    rv = (sx_ - qv * sy_) & M32
+                    qv &= M32
+                else:
+                    qv, rv = x // y, x % y
+                val = qv if oi in (0, 1) else rv
+                rd = _u32_limbs(val)
+                prevw, pw = mem.write(1, a // 4, rd, ts + 2)
+                _append(r, pc=pc, ts=ts, op_idx=oi, a=a // 4, b=b // 4,
+                        c=c // 4, rs1=rs1, rs2=rs2, q=_u32_limbs(qv),
+                        r=_u32_limbs(rv), p_ts1=p1, p_ts2=p2, p_tsw=pw,
+                        prevw=prevw)
+                pc, ts = pc + 4, ts + 3
+
             elif op in (LessThanOpcode.SLT, LessThanOpcode.SLTU):
                 r = recs["rv32_less_than"]
                 is_imm = int(e == 0)
@@ -291,6 +366,38 @@ class PreflightInterpreter:
                         s0=shift & 1, s1=shift >> 1, data2=data2, new3=new3,
                         p_ts1=p1, p_ts2=p2, p_tsw=pw, prevw=prevw)
                 pc, ts = pc + 4, ts + 3
+
+            elif op in (Rv32HintStoreOpcode.HINT_STOREW,
+                        Rv32HintStoreOpcode.HINT_BUFFER):
+                r = recs["rv32_hint_store"]
+                is_buf = int(op == Rv32HintStoreOpcode.HINT_BUFFER)
+                rs_ptr, p1 = reg_read(b // 4, 0)
+                if is_buf:
+                    rs_len, p2 = reg_read(a // 4, 1)
+                    num_words = _from_limbs(rs_len)
+                else:
+                    rs_len, p2 = [0, 0, 0, 0], 0
+                    num_words = 1
+                mem_ptr = _from_limbs(rs_ptr)
+                if mem_ptr % 4 != 0:
+                    raise ExecutionError("unaligned hint pointer")
+                if num_words == 0:
+                    raise ExecutionError("hint buffer of zero words")
+                hs = streams.hint_stream
+                if len(hs) < 4 * num_words:
+                    raise ExecutionError("hint stream underflow")
+                for k in range(num_words):
+                    data = hs[4 * k:4 * k + 4]
+                    prevw, pw = mem.write(2, mem_ptr // 4 + k, data,
+                                          ts + 2 + k)
+                    _append(r, pc=pc, ts0=ts, is_start=int(k == 0),
+                            is_buffer=is_buf, a=a // 4, b=b // 4,
+                            rem=num_words - k, ptr=mem_ptr // 4 + k,
+                            ts_w=ts + 2 + k, rs_ptr=rs_ptr, rs_len=rs_len,
+                            data=data, p_ts1=p1, p_ts2=p2, p_tsw=pw,
+                            prevw=prevw)
+                del hs[:4 * num_words]
+                pc, ts = pc + 4, ts + 2 + num_words
 
             elif op == SystemOpcode.PHANTOM:
                 r = recs["phantom"]
