@@ -30,6 +30,10 @@ def run_bench() -> float:
     import jax.numpy as jnp
     import numpy as np
 
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/openvm_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from openvm_tpu import merkle, ntt
     from openvm_tpu.field import babybear as bb
 

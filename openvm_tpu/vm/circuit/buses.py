@@ -82,12 +82,17 @@ def xor_lookup(b, x, y, z, count):
     b.push_send(BITWISE_BUS, [x, y, z, 1], count)
 
 
+# Wide values decompose as lo (RANGE_LO_BITS) + hi so the range table stays
+# at 2^(MAX_RANGE_BITS+1) rows (= FRI max height driver).
+RANGE_LO_BITS = 15
+
+
 def ts_diff_check(b, prev_ts, now_ts, diff_lo, diff_hi, count):
-    """prev_ts < now_ts via (now - prev - 1) = lo + hi*2^16, 16+13 bits."""
+    """prev_ts < now_ts via (now - prev - 1) = lo + hi*2^15, 15+14 bits."""
     b.assert_zero(count * (now_ts - prev_ts - 1 - diff_lo
-                           - diff_hi * (1 << 16)))
-    range_check(b, diff_lo, 16, count)
-    range_check(b, diff_hi, TIMESTAMP_BITS - 16, count)
+                           - diff_hi * (1 << RANGE_LO_BITS)))
+    range_check(b, diff_lo, RANGE_LO_BITS, count)
+    range_check(b, diff_hi, TIMESTAMP_BITS - RANGE_LO_BITS, count)
 
 
 def mem_read(b, addr_space, word_addr, data, prev_ts, now_ts,

@@ -40,7 +40,7 @@ def _pad_pow2(rows: np.ndarray, min_h: int = 1) -> np.ndarray:
 
 def _ts_diff(prev, now):
     d = now - prev - 1
-    return d & 0xFFFF, d >> 16
+    return d & 0x7FFF, d >> 15
 
 
 def _m(b, c: Cols, name, offset=0):
@@ -670,10 +670,10 @@ class JalrAir(Air):
         imm_v = oc - og * 65536
         b.assert_zero(v * (to_pc + lsb + wrap * (1 << 32)
                            - limbs_to_u32(rs1) - imm_v))
-        B.range_check(b, _m(b, c, "tp_lo"), 16, v)
-        B.range_check(b, _m(b, c, "tp_hi"), 14, v)
+        B.range_check(b, _m(b, c, "tp_lo"), 15, v)
+        B.range_check(b, _m(b, c, "tp_hi"), 15, v)
         b.assert_zero(v * (to_pc - _m(b, c, "tp_lo")
-                           - _m(b, c, "tp_hi") * (1 << 16)))
+                           - _m(b, c, "tp_hi") * (1 << 15)))
 
         rd_val = limbs_to_u32(rd)
         b.assert_zero(nw * (rd_val - (pc + 4)))
@@ -706,8 +706,8 @@ class JalrAir(Air):
         wrap = (target - rec["to_pc"].astype(np.int64)
                 - rec["lsb"].astype(np.int64)) // (1 << 32)
         t[:n, c.index["wrap"]] = wrap % P
-        t[:n, c.index["tp_lo"]] = rec["to_pc"] & 0xFFFF
-        t[:n, c.index["tp_hi"]] = rec["to_pc"] >> 16
+        t[:n, c.index["tp_lo"]] = rec["to_pc"] & 0x7FFF
+        t[:n, c.index["tp_hi"]] = rec["to_pc"] >> 15
         lo, hi = _ts_diff(rec["p_ts1"], rec["ts"])
         t[:n, c.index["dlo1"]] = lo
         t[:n, c.index["dhi1"]] = hi
@@ -779,19 +779,21 @@ class LoadStoreAir(Air):
     name = "rv32_load_store"
     OPS = [Rv32LoadStoreOpcode.LOADW, Rv32LoadStoreOpcode.LOADBU,
            Rv32LoadStoreOpcode.LOADHU, Rv32LoadStoreOpcode.STOREW,
-           Rv32LoadStoreOpcode.STOREH, Rv32LoadStoreOpcode.STOREB]
+           Rv32LoadStoreOpcode.STOREH, Rv32LoadStoreOpcode.STOREB,
+           Rv32LoadStoreOpcode.LOADB, Rv32LoadStoreOpcode.LOADH]
     NUM_PV_WORDS_BITS = 3  # log2 of PublicValuesAir.num_words
 
     def __init__(self):
         c = self.c = Cols()
         c.alloc("is_valid"), c.alloc("pc"), c.alloc("ts")
-        c.alloc("f", 6)  # lw, lbu, lhu, sw, sh, sb
+        c.alloc("f", 8)  # lw, lbu, lhu, sw, sh, sb, lb, lh
         c.alloc("a"), c.alloc("b"), c.alloc("cc"), c.alloc("g")
         c.alloc("e_as"), c.alloc("needs_write")
         c.alloc("rs1", 4)
         c.alloc("word_addr"), c.alloc("s0"), c.alloc("s1"), c.alloc("wrap")
         c.alloc("wa_lo"), c.alloc("wa_hi")
         c.alloc("sel", 4)
+        c.alloc("pbs"), c.alloc("pbr"), c.alloc("phs"), c.alloc("phr")
         c.alloc("data2", 4)  # loads: mem word; stores: reg value
         c.alloc("new3", 4)  # written word (loads: rd; stores: merged mem)
         c.alloc("p_ts1"), c.alloc("dlo1"), c.alloc("dhi1")
@@ -827,7 +829,7 @@ class LoadStoreAir(Air):
         b.assert_bool(s0)
         b.assert_bool(s1)
         b.assert_zero(wrap * (wrap - 1) * (wrap + 1))
-        is_load = f[0] + f[1] + f[2]
+        is_load = f[0] + f[1] + f[2] + f[6] + f[7]
         is_store = f[3] + f[4] + f[5]
         # stores always write (transpiler sets f=1); e_as in {2,3}
         b.assert_zero(is_store * (1 - nw))
@@ -845,15 +847,15 @@ class LoadStoreAir(Air):
         b.assert_zero(v * (4 * wa + s0 + 2 * s1 + wrap * (1 << 32)
                            - limbs_to_u32(rs1) - imm_v))
         b.assert_zero(v * (wa - _m(b, c, "wa_lo")
-                           - _m(b, c, "wa_hi") * (1 << 16)))
-        B.range_check(b, _m(b, c, "wa_lo"), 16, v)
-        B.range_check(b, _m(b, c, "wa_hi"), 11, v)
+                           - _m(b, c, "wa_hi") * (1 << 15)))
+        B.range_check(b, _m(b, c, "wa_lo"), 15, v)
+        B.range_check(b, _m(b, c, "wa_hi"), 12, v)
         B.range_check(b, wa, self.NUM_PV_WORDS_BITS, v * is_pv)
 
         # alignment
         b.assert_zero((f[0] + f[3]) * s0)
         b.assert_zero((f[0] + f[3]) * s1)
-        b.assert_zero((f[2] + f[4]) * s0)
+        b.assert_zero((f[2] + f[4] + f[7]) * s0)
 
         # byte select flags (gated: padding rows have all-zero sel)
         b.assert_zero(v * (sel[0] - (1 - s0) * (1 - s1)))
@@ -887,6 +889,22 @@ class LoadStoreAir(Air):
         b.assert_zero(f[2] * (new3[0] + 256 * new3[1] - half))
         b.assert_zero(f[2] * new3[2])
         b.assert_zero(f[2] * new3[3])
+        # sign-extending loads: LOADB picks a byte, LOADH a halfword; the
+        # sign bit of the picked value fills the upper limbs with 0xFF
+        pbs, pbr = _m(b, c, "pbs"), _m(b, c, "pbr")
+        phs, phr = _m(b, c, "phs"), _m(b, c, "phr")
+        b.assert_bool(pbs)
+        b.assert_bool(phs)
+        b.assert_zero(f[6] * (new3[0] - picked))
+        b.assert_zero(f[6] * (new3[0] - 128 * pbs - pbr))
+        B.range_check(b, pbr, 7, f[6])
+        for i in (1, 2, 3):
+            b.assert_zero(f[6] * (new3[i] - 255 * pbs))
+        b.assert_zero(f[7] * (new3[0] + 256 * new3[1] - half))
+        b.assert_zero(f[7] * (new3[1] - 128 * phs - phr))
+        B.range_check(b, phr, 7, f[7])
+        b.assert_zero(f[7] * (new3[2] - 255 * phs))
+        b.assert_zero(f[7] * (new3[3] - 255 * phs))
 
         # store semantics (d2 = register value, prevw = previous mem word)
         for i in range(4):
@@ -909,9 +927,18 @@ class LoadStoreAir(Air):
                    "word_addr", "s0", "s1", "p_ts1", "p_ts2", "p_tsw"):
             t[:n, c.index[nm]] = rec[nm]
         t[:n, c.index["cc"]] = rec["c"]
-        fcols = np.zeros((n, 6), dtype=np.uint64)
+        fcols = np.zeros((n, 8), dtype=np.uint64)
         fcols[np.arange(n), rec["op_idx"]] = 1
-        t[:n, c.index["f"]:c.index["f"] + 6] = fcols
+        t[:n, c.index["f"]:c.index["f"] + 8] = fcols
+        new3 = rec["new3"]
+        is_lb = rec["op_idx"] == 6
+        is_lh = rec["op_idx"] == 7
+        pbs = np.where(is_lb, new3[:, 0] >> 7, 0)
+        t[:n, c.index["pbs"]] = pbs
+        t[:n, c.index["pbr"]] = np.where(is_lb, new3[:, 0] - 128 * pbs, 0)
+        phs = np.where(is_lh, new3[:, 1] >> 7, 0)
+        t[:n, c.index["phs"]] = phs
+        t[:n, c.index["phr"]] = np.where(is_lh, new3[:, 1] - 128 * phs, 0)
         t[:n, c.index["rs1"]:c.index["rs1"] + 4] = rec["rs1"]
         rs1v = (rec["rs1"] * (1 << (8 * np.arange(4, dtype=np.uint64)))
                 ).sum(axis=1)
@@ -921,8 +948,8 @@ class LoadStoreAir(Air):
             + rec["s0"].astype(np.int64) + 2 * rec["s1"].astype(np.int64)
         wrap = (target - full) // (1 << 32)
         t[:n, c.index["wrap"]] = wrap % P
-        t[:n, c.index["wa_lo"]] = rec["word_addr"] & 0xFFFF
-        t[:n, c.index["wa_hi"]] = rec["word_addr"] >> 16
+        t[:n, c.index["wa_lo"]] = rec["word_addr"] & 0x7FFF
+        t[:n, c.index["wa_hi"]] = rec["word_addr"] >> 15
         s0, s1 = rec["s0"], rec["s1"]
         selc = np.stack([(1 - s0) * (1 - s1), s0 * (1 - s1), (1 - s0) * s1,
                          s0 * s1], axis=1)

@@ -145,9 +145,9 @@ class VolatileBoundaryAir(Air):
         next_addr = b.main(c.index["addr"], offset=1)
         next_key = next_as * (1 << 27) + next_addr
         b.assert_zero(b.is_transition() * hnv
-                      * (next_key - key - 1 - dlo - dhi * (1 << 16)))
-        B.range_check(b, dlo, 16, hnv)
-        B.range_check(b, dhi, 14, hnv)
+                      * (next_key - key - 1 - dlo - dhi * (1 << 15)))
+        B.range_check(b, dlo, 15, hnv)
+        B.range_check(b, dhi, 15, hnv)
 
 
 class PublicValuesAir(Air):
@@ -191,7 +191,7 @@ class RangeCheckerAir(Air):
     bits <= MAX_BITS; receives (value, bits) with multiplicity."""
 
     name = "range_checker"
-    MAX_BITS = 16
+    MAX_BITS = 15
     width = 1  # multiplicity
 
     def preprocessed_trace(self):

@@ -34,10 +34,17 @@ from .instructions import VmExe
 P = 2013265921
 
 
+FULL_EXECUTORS = ("alu", "lt", "beq", "blt", "jal_lui", "jalr", "auipc",
+                  "loadstore", "shift", "mul", "divrem", "hintstore")
+
+
 @dataclass
 class Rv32Config:
     num_pv_words: int = 8
     stark: StarkConfig = None
+    # executor chip families to include (reference VmConfig's modular
+    # extension list, config.rs:60-103); tests can use a reduced set
+    executors: tuple = FULL_EXECUTORS
 
     def __post_init__(self):
         if self.stark is None:
@@ -47,18 +54,25 @@ class Rv32Config:
                                   proof_of_work_bits=16))
 
 
+_EXECUTOR_AIRS = {
+    "alu": BaseAluAir, "lt": LessThanAir, "beq": BranchEqAir,
+    "blt": BranchLtAir, "jal_lui": JalLuiAir, "jalr": JalrAir,
+    "auipc": AuipcAir, "loadstore": LoadStoreAir, "shift": ShiftAir,
+    "mul": MulAir, "divrem": DivRemAir, "hintstore": HintStoreAir,
+}
+
+
 class VirtualMachine:
+    NUM_SYSTEM_AIRS = 7
+
     def __init__(self, config: Rv32Config | None = None):
         self.config = config or Rv32Config()
         self.airs = [
             ProgramAir(), ConnectorAir(),
             PublicValuesAir(self.config.num_pv_words),
             VolatileBoundaryAir(), RangeCheckerAir(), BitwiseLookupAir(),
-            PhantomAir(), BaseAluAir(), LessThanAir(), BranchEqAir(),
-            BranchLtAir(), JalLuiAir(), JalrAir(), AuipcAir(),
-            LoadStoreAir(), ShiftAir(), MulAir(), DivRemAir(),
-            HintStoreAir(),
-        ]
+            PhantomAir(),
+        ] + [_EXECUTOR_AIRS[name]() for name in self.config.executors]
         self.air_index = {a.name: i for i, a in enumerate(self.airs)}
         self.pk = None
 
@@ -120,8 +134,8 @@ class VirtualMachine:
         keys = [a_s * (1 << 27) + wa for ((a_s, wa), _) in entries]
         for r in range(len(entries) - 1):
             d = keys[r + 1] - keys[r] - 1
-            brows[r, 12] = d & 0xFFFF
-            brows[r, 13] = d >> 16
+            brows[r, 12] = d & 0x7FFF
+            brows[r, 13] = d >> 15
             brows[r, 14] = 1  # has_next_valid
         traces["memory_boundary"] = _pad_pow2(brows)
 
@@ -142,7 +156,11 @@ class VirtualMachine:
                                          dtype=np.uint64)
 
         # executor chips
-        for air in self.airs[7:]:
+        for name in pre.records:
+            if name != "phantom" and name not in self.air_index:
+                raise RuntimeError(
+                    f"program uses {name} but the VM config excludes it")
+        for air in self.airs[self.NUM_SYSTEM_AIRS:]:
             rec = pre.records.get(air.name)
             if rec:
                 traces[air.name] = air.trace(rec)

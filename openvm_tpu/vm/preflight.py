@@ -322,10 +322,10 @@ class PreflightInterpreter:
                 pc, ts = pc + 4, ts + 1
 
             elif (Rv32LoadStoreOpcode.LOADW <= op
-                  <= Rv32LoadStoreOpcode.STOREB):
+                  <= Rv32LoadStoreOpcode.LOADH):
                 r = recs["rv32_load_store"]
                 oi = op - Rv32LoadStoreOpcode.LOADW
-                is_load = oi < 3
+                is_load = oi < 3 or oi > 5
                 nw = int(f != 0)
                 rs1, p1 = reg_read(b // 4, 0)
                 full = (_from_limbs(rs1) + _imm16(c, g)) & M32
@@ -338,8 +338,14 @@ class PreflightInterpreter:
                         new3 = list(data2)
                     elif op == Rv32LoadStoreOpcode.LOADBU:
                         new3 = [data2[shift], 0, 0, 0]
-                    else:  # LOADHU
+                    elif op == Rv32LoadStoreOpcode.LOADHU:
                         new3 = [data2[shift], data2[shift + 1], 0, 0]
+                    elif op == Rv32LoadStoreOpcode.LOADB:
+                        fill = 255 if data2[shift] >= 128 else 0
+                        new3 = [data2[shift], fill, fill, fill]
+                    else:  # LOADH
+                        fill = 255 if data2[shift + 1] >= 128 else 0
+                        new3 = [data2[shift], data2[shift + 1], fill, fill]
                     if nw:
                         prevw, pw = mem.write(1, a // 4, new3, ts + 2)
                     else:

@@ -25,6 +25,10 @@ import jax  # noqa: E402
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
 jax.config.update("jax_platforms", "cpu")
+# jax 0.9 ignores the cache env vars at import time — set explicitly.
+jax.config.update("jax_compilation_cache_dir", "/tmp/openvm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -93,9 +93,14 @@ def fib(n):
     return a
 
 
+FIB_EXECUTORS = ("alu", "lt", "beq", "blt", "jal_lui", "jalr", "auipc",
+                 "loadstore")
+
+
 def test_vm_fib_prove_verify():
     exe = build_fib_program(10)
-    vm = VirtualMachine(Rv32Config(stark=TEST_STARK))
+    vm = VirtualMachine(Rv32Config(stark=TEST_STARK,
+                                   executors=FIB_EXECUTORS))
     vm.keygen()
     commit = vm.commit_exe(exe)
     proof, pre = vm.prove(exe)
@@ -110,7 +115,8 @@ def test_vm_fib_prove_verify():
 
 def test_vm_tampered_pv_fails():
     exe = build_fib_program(6)
-    vm = VirtualMachine(Rv32Config(stark=TEST_STARK))
+    vm = VirtualMachine(Rv32Config(stark=TEST_STARK,
+                                   executors=FIB_EXECUTORS))
     vm.keygen()
     proof, pre = vm.prove(exe)
     # tamper with a public value
