@@ -7,6 +7,7 @@ ported aggregation layers (SURVEY.md section 2.16).
 
 from __future__ import annotations
 
+import subprocess
 import time
 from dataclasses import dataclass
 
@@ -42,9 +43,19 @@ class Sdk:
         return transpile_elf(load_elf(elf_bytes))
 
     # -- pure execution (reference Sdk::execute, lib.rs:345-364) ---------
-    def execute(self, exe: VmExe, inputs=None, max_insns=None):
+    def execute(self, exe: VmExe, inputs=None, max_insns=None, native=True):
         t0 = time.time()
-        st = Interpreter(exe).execute(inputs, max_insns)
+        st = None
+        if native:
+            try:
+                from .vm.native import NativeInterpreter
+                st = NativeInterpreter(exe).execute(inputs, max_insns)
+                if st.error:
+                    raise RuntimeError(st.error)
+            except (OSError, subprocess.CalledProcessError):
+                st = None  # toolchain unavailable: python fallback
+        if st is None:
+            st = Interpreter(exe).execute(inputs, max_insns)
         dt = time.time() - t0
         metrics.gauge("execute_e1_time_ms", round(dt * 1000, 3))
         if dt > 0:

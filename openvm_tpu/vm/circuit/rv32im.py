@@ -806,7 +806,7 @@ class LoadStoreAir(Air):
         c = self.c
         v = _m(b, c, "is_valid")
         pc, ts = _m(b, c, "pc"), _m(b, c, "ts")
-        f = _marr(b, c, "f", 6)
+        f = _marr(b, c, "f", 8)
         oa, ob = _m(b, c, "a"), _m(b, c, "b")
         oc, og = _m(b, c, "cc"), _m(b, c, "g")
         e_as = _m(b, c, "e_as")

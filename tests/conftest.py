@@ -6,6 +6,8 @@ the real chip.  Must run before jax initializes, hence env vars here.
 
 import os
 
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # silence AOT-cache spam
+
 # Force CPU: the ambient environment pins JAX_PLATFORMS=axon (a tunneled TPU
 # whose per-op round-trip latency is ruinous for eager tests).  Tests validate
 # numerics/sharding on a local CPU mesh; bench.py uses the real chip.
