@@ -29,6 +29,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # jax 0.9 ignores the cache env vars at import time — set explicitly.
 jax.config.update("jax_compilation_cache_dir", "/tmp/openvm_tpu_jax_cache")
+# x64 on CPU: field muls lower to ~10 HLO ops instead of the 16-bit-limb
+# TPU path (4x faster compiles of the big constraint graphs)
+jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
