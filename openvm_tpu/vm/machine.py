@@ -89,10 +89,19 @@ class VirtualMachine:
         return merkle.commit([lde]).root
 
     # -- proving ---------------------------------------------------------
-    def prove(self, exe: VmExe, inputs=None, max_insns=None, debug=False):
+    def prove(self, exe: VmExe, inputs=None, max_insns=None, debug=False,
+              native=True):
         assert self.pk is not None, "call keygen() first"
-        pre = PreflightInterpreter(
-            exe, self.config.num_pv_words).execute(inputs, max_insns)
+        pre = None
+        if native:
+            try:
+                from .native import native_preflight
+                pre = native_preflight(exe, inputs, max_insns)
+            except (OSError, ImportError):
+                pre = None  # no toolchain: python fallback
+        if pre is None:
+            pre = PreflightInterpreter(
+                exe, self.config.num_pv_words).execute(inputs, max_insns)
 
         traces: dict[str, np.ndarray] = {}
         # program: cached [pc|opcode|operands], common [mult]

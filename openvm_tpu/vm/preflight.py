@@ -195,7 +195,7 @@ class PreflightInterpreter:
                 pc, ts = pc + 4, ts + 3
 
             elif DivRemOpcode.DIV <= op <= DivRemOpcode.REMU:
-                r = recs["rv32_div_rem"]
+                rdict = recs["rv32_div_rem"]
                 rs1, p1 = reg_read(b // 4, 0)
                 rs2, p2 = reg_read(c // 4, 1)
                 x, y = _from_limbs(rs1), _from_limbs(rs2)
@@ -217,7 +217,7 @@ class PreflightInterpreter:
                 val = qv if oi in (0, 1) else rv
                 rd = _u32_limbs(val)
                 prevw, pw = mem.write(1, a // 4, rd, ts + 2)
-                _append(r, pc=pc, ts=ts, op_idx=oi, a=a // 4, b=b // 4,
+                _append(rdict, pc=pc, ts=ts, op_idx=oi, a=a // 4, b=b // 4,
                         c=c // 4, rs1=rs1, rs2=rs2, q=_u32_limbs(qv),
                         r=_u32_limbs(rv), p_ts1=p1, p_ts2=p2, p_tsw=pw,
                         prevw=prevw)
@@ -441,6 +441,6 @@ class PreflightInterpreter:
             public_values=pvs)
 
 
-def _append(r, **kwargs):
+def _append(__rec, **kwargs):
     for k, v in kwargs.items():
-        r[k].append(v)
+        __rec[k].append(v)
