@@ -88,6 +88,33 @@ class VirtualMachine:
         lde = ntt.coset_lde(dev, self.config.stark.fri.log_blowup)
         return merkle.commit([lde]).root
 
+    # -- metered execution (E2 role: trace-height accounting) ------------
+    def execute_metered(self, exe: VmExe, inputs=None, max_insns=None):
+        """Count-only execution returning per-chip trace heights.
+
+        The reference's metered mode (SURVEY.md section 2.1 "execution
+        modes") sizes traces and picks segment boundaries; this returns the
+        height accounting for the single-segment case (multi-segment
+        continuations are the next milestone).
+        """
+        import ctypes
+
+        from .native import (PREFLIGHT_LAYOUTS, load_preflight_library,
+                             native_preflight)
+        pre = native_preflight(exe, inputs, max_insns)
+        heights = {}
+        for air in self.airs[self.NUM_SYSTEM_AIRS:]:
+            rec = pre.records.get(air.name)
+            n = len(rec["pc"]) if rec else 1
+            heights[air.name] = 1 << max((n - 1).bit_length(), 0)
+        max_h = self.config.stark.fri.max_log_trace_height
+        fits = all(h <= (1 << max_h) for h in heights.values())
+        return {"instret": pre.instret, "chip_heights": heights,
+                "fits_single_segment": fits,
+                "total_cells": sum(
+                    h * a.width for a, h in
+                    zip(self.airs[self.NUM_SYSTEM_AIRS:], heights.values()))}
+
     # -- proving ---------------------------------------------------------
     def prove(self, exe: VmExe, inputs=None, max_insns=None, debug=False,
               native=True):

@@ -75,6 +75,13 @@ def test_fibonacci_prove_verify():
                                          public_values=pvs)])
     verify(pk.vk, proof)
 
+    # codec roundtrip: decoded proof verifies too
+    from openvm_tpu.stark.codec import decode_proof, encode_proof
+    blob = encode_proof(proof)
+    proof2 = decode_proof(blob)
+    verify(pk.vk, proof2)
+    assert encode_proof(proof2) == blob
+
 
 def test_fibonacci_wrong_public_value_fails():
     air = FibonacciAir()
