@@ -59,7 +59,38 @@ def run_bench() -> float:
     return n * WIDTH / dt
 
 
+def run_vm_prove_bench() -> dict:
+    """Opt-in (BENCH_MODE=vm_prove): full VM proof of a fibonacci program.
+
+    Proves a hand-assembled RV32IM fibonacci loop end-to-end (preflight ->
+    tracegen -> 15-AIR STARK) on the default accelerator and reports
+    proved insns/sec.
+    """
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.test_vm_prove import build_fib_program, FIB_EXECUTORS
+    from openvm_tpu.stark import FriParameters, StarkConfig
+    from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
+
+    n_iters = int(os.environ.get("BENCH_VM_N", "2000"))
+    exe = build_fib_program(n_iters)
+    stark = StarkConfig(fri=FriParameters(log_blowup=1, num_queries=33,
+                                          proof_of_work_bits=16))
+    vm = VirtualMachine(Rv32Config(stark=stark, executors=FIB_EXECUTORS))
+    vm.keygen()
+    t0 = time.time()
+    proof, pre = vm.prove(exe)
+    dt = time.time() - t0
+    vm.verify(proof)
+    return {"metric": "vm_proved_insns_per_sec",
+            "value": round(pre.instret / dt, 1), "unit": "insn/s",
+            "vs_baseline": 1.0}
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "vm_prove":
+        print(json.dumps(run_vm_prove_bench()))
+        return
     if os.environ.get("BENCH_BACKEND") == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")

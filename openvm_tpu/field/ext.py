@@ -117,13 +117,27 @@ def inv(a: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=1)
 def exp_u64(a: jnp.ndarray, e: int) -> jnp.ndarray:
-    result = ones(a.shape[:-1])
-    base = a
-    while e > 0:
-        if e & 1:
-            result = mul(result, base)
-        base = mul(base, base)
-        e >>= 1
+    # unroll only short or pure-squaring exponents; scan otherwise (XLA:CPU
+    # compile time explodes on some unrolled square-and-multiply shapes)
+    if e < (1 << 8) or (e & (e - 1)) == 0:
+        result = ones(a.shape[:-1])
+        base = a
+        while e > 0:
+            if e & 1:
+                result = mul(result, base)
+            base = mul(base, base)
+            e >>= 1
+        return result
+
+    bits = jnp.asarray(np.array([(e >> i) & 1 for i in range(e.bit_length())],
+                                dtype=np.uint32))
+
+    def body(carry, bit):
+        acc, b = carry
+        acc = jnp.where(bit != 0, mul(acc, b), acc)
+        return (acc, mul(b, b)), None
+
+    (result, _), _ = jax.lax.scan(body, (ones(a.shape[:-1]), a), bits)
     return result
 
 

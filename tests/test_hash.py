@@ -81,7 +81,7 @@ def test_challenger_determinism_and_duplex():
         c.observe(5)
         c.observe_slice(np.arange(9, dtype=np.uint64))
     assert a.sample() == b.sample()
-    assert a.sample_ext().tolist() == b.sample_ext().tolist()
+    assert a.sample_ext() == b.sample_ext()
     # sampling then observing re-duplexes: state evolves deterministically
     c1, c2 = DuplexChallenger(), DuplexChallenger()
     c1.observe(1)

@@ -112,14 +112,7 @@ def test_vm_fib_prove_verify():
     assert got == fib(11)  # x2 after loop = fib(n+1)
     assert pvs[4] == fib(11) & 0xFF  # lbu byte
 
-
-def test_vm_tampered_pv_fails():
-    exe = build_fib_program(6)
-    vm = VirtualMachine(Rv32Config(stark=TEST_STARK,
-                                   executors=FIB_EXECUTORS))
-    vm.keygen()
-    proof, pre = vm.prove(exe)
-    # tamper with a public value
+    # negative: tampering with a public value must fail verification
     pv_air = proof.per_air[vm.air_index["public_values"]]
     pv_air.public_values[0] = (pv_air.public_values[0] + 1) % (2**31)
     from openvm_tpu.stark import VerificationError
