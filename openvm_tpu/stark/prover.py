@@ -208,6 +208,41 @@ def _selectors_on_domain(log_n: int, log_domain: int, shift: int):
     }
 
 
+def _group_constraint_roots(dag, budget: int = 1500):
+    """Partition constraint roots (in order) so each group's reachable
+    subgraph stays under ~budget nodes (keeps per-jit compile time sane)."""
+
+    def reach_size(root, seen):
+        stack = [root]
+        added = 0
+        while stack:
+            i = stack.pop()
+            if i in seen:
+                continue
+            seen.add(i)
+            added += 1
+            n = dag.nodes[i]
+            if n[0] in ("add", "sub", "mul"):
+                stack += [n[1], n[2]]
+            elif n[0] == "neg":
+                stack.append(n[1])
+        return added
+
+    groups = []
+    cur = []
+    seen: set = set()
+    for root in dag.constraint_roots:
+        added = reach_size(root, seen)
+        cur.append(root)
+        if len(seen) > budget:
+            groups.append(cur)
+            cur = []
+            seen = set()
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 # ---------------------------------------------------------------------------
 # The prover
 # ---------------------------------------------------------------------------
@@ -372,17 +407,24 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
 
         sels = _selectors_on_domain(log_n, log_q, bb.GENERATOR)
 
-        def quotient_closure(mains, prep, perm, publics, chs, expo, sels_a,
-                             alpha_a, dag=vk.dag, log_q=log_q, step=step):
+        # Split constraint roots into groups whose reachable subgraphs stay
+        # below a node budget: XLA:CPU compile time is superlinear in fused
+        # graph size, so several medium jits beat one giant one.  The Horner
+        # fold recombines exactly: folded = sum_j alpha^{tail_j} fold(G_j).
+        dag = vk.dag
+        groups = _group_constraint_roots(dag, budget=1500)
+
+        def group_closure(roots, mains, prep, perm, publics, chs, expo,
+                          sels_a, alpha_a, dag=dag, log_q=log_q, step=step):
             env = {"main": [q_slice(m) for m in mains],
                    "preprocessed": (q_slice(prep) if prep is not None
                                     else None),
                    "perm": q_slice(perm) if perm is not None else None,
                    "publics": publics, "challenges": chs, "exposed": expo,
                    "sels": sels_a, "next_step": step}
-            vals = dag.eval(DeviceOps, env)
+            vals = dag.eval(DeviceOps, env, roots=list(roots))
             acc = ef.zeros((1 << log_q,))
-            for root in dag.constraint_roots:
+            for root in roots:
                 tag, v = vals[root]
                 acc = ef.mul(acc, jnp.broadcast_to(alpha_a, acc.shape))
                 if tag == "b":
@@ -390,9 +432,9 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
                         v, (1 << log_q,))))
                 else:
                     acc = ef.add(acc, jnp.broadcast_to(v, acc.shape))
-            return ef.scale(acc, sels_a["inv_zeroifier"])
+            return acc
 
-        quotient = jax.jit(quotient_closure)(
+        args = (
             [lde for (j, lde) in cached_ldes if j == i]
             + ([common_ldes[i]] if common_ldes[i] is not None else []),
             pk.per_air[c.air_id].preprocessed_lde,
@@ -405,6 +447,20 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
             (_ext_scalar(exposed[i][0])[None, :] if exposed[i]
              else ef.zeros((1,))),
             sels, alpha)
+
+        m_total = len(dag.constraint_roots)
+        acc = ef.zeros((1 << log_q,))
+        consumed = 0
+        for roots in groups:
+            part = jax.jit(functools.partial(group_closure, tuple(roots))
+                           )(*args)
+            consumed += len(roots)
+            # acc holds the fold of all previous roots; shift by |group|
+            shift = ef.exp_u64(alpha, len(roots))
+            acc = ef.add(ef.mul(jnp.broadcast_to(shift, part.shape), acc),
+                         part)
+        assert consumed == m_total
+        quotient = ef.scale(acc, sels["inv_zeroifier"])
         return [(i, chunk_i, quotient[chunk_i::step])
                 for chunk_i in range(step)]
 
