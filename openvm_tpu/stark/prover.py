@@ -307,12 +307,8 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
     common_ldes = [ntt.coset_lde(m, lb) if m is not None else None
                    for m in commons]
     common_present = [i for i, m in enumerate(common_ldes) if m is not None]
-    _tree_futs = [_pool.submit(merkle.commit, [lde])
-                  for (_, lde) in cached_ldes]
-    _common_fut = _pool.submit(merkle.commit,
-                               [common_ldes[i] for i in common_present])
-    cached_trees = [f.result() for f in _tree_futs]
-    common_tree = _common_fut.result()
+    cached_trees = [merkle.commit([lde]) for (_, lde) in cached_ldes]
+    common_tree = merkle.commit([common_ldes[i] for i in common_present])
     _mark("main commits")
 
     main_commits = [t.root for t in cached_trees] + [common_tree.root]
@@ -347,32 +343,26 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         ch1 = challenger.sample_ext()
         challenges_dev = jnp.stack([_ext_scalar(ch0), _ext_scalar(ch1)])
 
-        def build_one_perm(i, c, vk):
+        # The permutation-trace build runs EAGERLY: its primitive jits are
+        # shape-cached across AIRs, and jitting the whole per-air closure
+        # trips a pathological XLA:CPU compile for wide interactions (the
+        # 30+-term beta chains feeding the inverse scan).
+        for i, (c, vk) in enumerate(zip(ctxs, vks)):
+            if not vk.widths.after_challenge:
+                continue
             publics_m = bb.to_monty(jnp.asarray(
                 np.asarray(c.public_values, dtype=np.uint64)
                 .astype(np.uint32))) if c.public_values else \
                 jnp.zeros((0,), jnp.uint32)
-
-            def perm_closure(mains, prep, publics, chs, dag=vk.dag,
-                             chunks=vk.interaction_chunks):
-                env = {"main": mains, "preprocessed": prep, "perm": None,
-                       "publics": publics, "challenges": chs,
-                       "exposed": ef.zeros((1,)), "sels": None,
-                       "next_step": 1}
-                return build_perm_trace(dag, env, chunks, chs)
-
-            return jax.jit(perm_closure)(
-                cacheds[i] + ([commons[i]] if commons[i] is not None
-                              else []),
-                pk.per_air[c.air_id].preprocessed_trace,
-                publics_m, challenges_dev)
-
-        perm_futs = {
-            i: _pool.submit(build_one_perm, i, c, vk)
-            for i, (c, vk) in enumerate(zip(ctxs, vks))
-            if vk.widths.after_challenge}
-        for i in sorted(perm_futs):
-            perm, cumsum = perm_futs[i].result()
+            env = {"main": cacheds[i] + ([commons[i]] if commons[i]
+                                         is not None else []),
+                   "preprocessed": pk.per_air[c.air_id].preprocessed_trace,
+                   "perm": None, "publics": publics_m,
+                   "challenges": challenges_dev, "exposed": ef.zeros((1,)),
+                   "sels": None, "next_step": 1}
+            perm, cumsum = build_perm_trace(vk.dag, env,
+                                            vk.interaction_chunks,
+                                            challenges_dev)
             perm_traces[i] = perm
             cum_host = np.asarray(bb.from_monty(cumsum), dtype=np.uint64)
             exposed[i] = [tuple(int(x) for x in cum_host)]
@@ -391,10 +381,11 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
     alpha_c = challenger.sample_ext()
     alpha = _ext_scalar(alpha_c)
 
-    # ---- quotient (per-air evals compile-parallel) ---------------------
+    # ---- quotient (lower on main thread, compile-parallel) -------------
     quotient_chunk_mats = []  # [(air_pos, chunk_idx, (N,4) natural evals)]
 
-    def compute_quotient(i, c, vk):
+    def prepare_quotient(i, c, vk):
+        """Returns (lowered_groups, args, meta) — tracing on main thread."""
         lqd = vk.log_quotient_degree
         log_n = log_degrees[i]
         log_q = log_n + lqd
@@ -448,26 +439,32 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
              else ef.zeros((1,))),
             sels, alpha)
 
-        m_total = len(dag.constraint_roots)
+        lowered = [
+            (roots,
+             jax.jit(functools.partial(group_closure, tuple(roots)))
+             .lower(*args))
+            for roots in groups]
+        return lowered, args, (log_q, step, sels)
+
+    _q_prepared = [prepare_quotient(i, c, vk)
+                   for i, (c, vk) in enumerate(zip(ctxs, vks))]
+    _q_futs = [[(roots, _pool.submit(low.compile))
+                for (roots, low) in lowered]
+               for (lowered, _, _) in _q_prepared]
+    for i, ((lowered, args, (log_q, step, sels)), futs) in enumerate(
+            zip(_q_prepared, _q_futs)):
         acc = ef.zeros((1 << log_q,))
         consumed = 0
-        for roots in groups:
-            part = jax.jit(functools.partial(group_closure, tuple(roots))
-                           )(*args)
+        for roots, fut in futs:
+            part = fut.result()(*args)
             consumed += len(roots)
-            # acc holds the fold of all previous roots; shift by |group|
             shift = ef.exp_u64(alpha, len(roots))
             acc = ef.add(ef.mul(jnp.broadcast_to(shift, part.shape), acc),
                          part)
-        assert consumed == m_total
+        assert consumed == len(vks[i].dag.constraint_roots)
         quotient = ef.scale(acc, sels["inv_zeroifier"])
-        return [(i, chunk_i, quotient[chunk_i::step])
-                for chunk_i in range(step)]
-
-    _q_futs = [_pool.submit(compute_quotient, i, c, vk)
-               for i, (c, vk) in enumerate(zip(ctxs, vks))]
-    for fut in _q_futs:
-        quotient_chunk_mats.extend(fut.result())
+        quotient_chunk_mats.extend(
+            (i, chunk_i, quotient[chunk_i::step]) for chunk_i in range(step))
 
     # commit quotient chunks (one tree). Chunk domain shift = g * w_q^i.
     def q_lde(args):
@@ -479,7 +476,7 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         return ntt.coset_lde(evals, lb, shift=bb.GENERATOR,
                              in_shift=in_shift)
 
-    q_ldes = list(_pool.map(q_lde, quotient_chunk_mats))
+    q_ldes = [q_lde(a) for a in quotient_chunk_mats]
     quotient_tree = merkle.commit(q_ldes)
     _mark("quotient")
     challenger.observe_slice(quotient_tree.root)
@@ -521,14 +518,12 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         for k, (i, chunk_i, _) in enumerate(quotient_chunk_mats)]))
 
     # open every mat at its points (barycentric from committed LDE)
-    def open_mat(mat):
+    for mat in (m for rnd in rounds for m in rnd.mats):
         mat.opened = []
         for z in mat.points:
             vals = _barycentric_open(mat.lde_bitrev, z, mat.log_lde)
             mat.opened.append(
                 np.asarray(bb.from_monty(vals), dtype=np.uint64))
-
-    list(_pool.map(open_mat, [m for rnd in rounds for m in rnd.mats]))
 
     # observe all opened values (round/mat/point/column order, 4 felts each)
     for rnd in rounds:

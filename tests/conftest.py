@@ -6,17 +6,12 @@ the real chip.  Must run before jax initializes, hence env vars here.
 
 import os
 
-os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # silence AOT-cache spam
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 # Force CPU: the ambient environment pins JAX_PLATFORMS=axon (a tunneled TPU
 # whose per-op round-trip latency is ruinous for eager tests).  Tests validate
 # numerics/sharding on a local CPU mesh; bench.py uses the real chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Persistent compile cache: tiny uint32 kernels recompile on every pytest
-# process otherwise.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/openvm_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -27,13 +22,13 @@ import jax  # noqa: E402
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
 jax.config.update("jax_platforms", "cpu")
-# jax 0.9 ignores the cache env vars at import time — set explicitly.
-jax.config.update("jax_compilation_cache_dir", "/tmp/openvm_tpu_jax_cache")
+# NOTE: do NOT enable the persistent compilation cache on CPU — XLA:CPU AOT
+# executables deserialize with a machine-feature mismatch on this host and
+# the reloaded code can spin forever at runtime.  (bench.py keeps its own
+# cache for the TPU backend, whose executables round-trip fine.)
 # x64 on CPU: field muls lower to ~10 HLO ops instead of the 16-bit-limb
-# TPU path (4x faster compiles of the big constraint graphs)
+# TPU path (4x faster compiles of the big constraint graphs).
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -36,6 +36,8 @@ class _Requester(Air):
         b.push_send(POSEIDON2_BUS, msg, v)
 
 
+@pytest.mark.skipif(not __import__("os").environ.get("OPENVM_SLOW"),
+                    reason="slow crypto prove; set OPENVM_SLOW=1")
 def test_prove_verify_with_requester(rng):
     p2air = Poseidon2Air()
     req = _Requester()
