@@ -15,11 +15,6 @@ import subprocess
 import sys
 import time
 
-# XLA compile of the fused LDE+Merkle graph dominates first run (~3 min on
-# the tunneled TPU); persist the compiled executable across invocations.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/openvm_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 LOG_N = int(os.environ.get("BENCH_LOG_N", "14"))
 WIDTH = int(os.environ.get("BENCH_WIDTH", "64"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
@@ -30,9 +25,13 @@ def run_bench() -> float:
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/openvm_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Persist compiled executables across invocations — but only for the
+    # accelerator backend: XLA:CPU AOT blobs mis-deserialize on this host
+    # (machine-feature mismatch) and the reloaded code can spin forever.
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/openvm_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from openvm_tpu import merkle, ntt
     from openvm_tpu.field import babybear as bb
