@@ -119,16 +119,29 @@ class Poseidon2Air(Air):
 
     # -- tracegen --------------------------------------------------------
     def trace(self, inputs: np.ndarray, mults=None) -> np.ndarray:
-        """inputs: (N, 16) canonical uint64; returns the full trace."""
-        n = len(inputs)
-        h = 1 << max((n - 1).bit_length(), 0) if n > 1 else 1
+        """inputs: (N, 16) canonical uint64; returns the full trace.
+
+        The AIR's round constraints are ungated, so padding rows are real
+        permutations of the zero state with multiplicity 0.
+        """
+        n0 = len(inputs)
+        h = 1 << max((n0 - 1).bit_length(), 0) if n0 > 1 else 1
+        if mults is None:
+            mults = np.ones(n0, dtype=np.uint64)
+        if h > n0:
+            pad = np.zeros((h - n0, 16), dtype=np.uint64)
+            inputs = np.concatenate(
+                [np.asarray(inputs, dtype=np.uint64), pad], axis=0)
+            mults = np.concatenate(
+                [np.asarray(mults, dtype=np.uint64),
+                 np.zeros(h - n0, dtype=np.uint64)])
+        n = h
         c = self.c
         t = np.zeros((h, self.width), dtype=np.uint64)
         if n == 0:
             return t
-        t[:n, c.index["mult"]] = (np.ones(n, dtype=np.uint64)
-                                  if mults is None else mults)
-        state = inputs.astype(np.uint64) % P
+        t[:n, c.index["mult"]] = mults
+        state = np.asarray(inputs, dtype=np.uint64) % P
         t[:n, c.index["inp"]:c.index["inp"] + 16] = state
 
         def pow_mod(x, e):
