@@ -74,12 +74,21 @@ def append_logup_constraints(builder: AirBuilder,
     alpha = Var("challenge", 0, 0, 0)
     beta = Var("challenge", 0, 0, 1)
 
+    # beta powers via log-depth products (linear chains of 30+ muls trip a
+    # superlinear XLA:CPU compile path); hash-consing shares the table
+    # across all denominators.
+    bpows = {0: None, 1: beta}
+
+    def bpow(k: int):
+        if k not in bpows:
+            h = k // 2
+            bpows[k] = bpow(h) * bpow(k - h)
+        return bpows[k]
+
     def denom(it: Interaction):
         acc = alpha + it.bus
-        bpow = beta
-        for f in it.fields:
-            acc = acc + bpow * f
-            bpow = bpow * beta
+        for j, f in enumerate(it.fields):
+            acc = acc + bpow(j + 1) * f
         return acc
 
     def signed_count(it: Interaction):
