@@ -45,6 +45,9 @@ class Rv32Config:
     # executor chip families to include (reference VmConfig's modular
     # extension list, config.rs:60-103); tests can use a reduced set
     executors: tuple = FULL_EXECUTORS
+    # persistent memory: Merkle-committed memory state (continuations mode,
+    # reference SystemConfig.continuation_enabled)
+    persistent: bool = False
 
     def __post_init__(self):
         if self.stark is None:
@@ -63,16 +66,27 @@ _EXECUTOR_AIRS = {
 
 
 class VirtualMachine:
-    NUM_SYSTEM_AIRS = 7
-
     def __init__(self, config: Rv32Config | None = None):
         self.config = config or Rv32Config()
-        self.airs = [
-            ProgramAir(), ConnectorAir(),
-            PublicValuesAir(self.config.num_pv_words),
-            VolatileBoundaryAir(), RangeCheckerAir(), BitwiseLookupAir(),
-            PhantomAir(),
-        ] + [_EXECUTOR_AIRS[name]() for name in self.config.executors]
+        if self.config.persistent:
+            from .circuit.merkle_chip import MemoryMerkleAir
+            from .circuit.persistent_boundary import PersistentBoundaryAir
+            from .circuit.poseidon2_chip import Poseidon2Air
+            system = [
+                ProgramAir(), ConnectorAir(), PersistentBoundaryAir(),
+                MemoryMerkleAir(), Poseidon2Air(), RangeCheckerAir(),
+                BitwiseLookupAir(), PhantomAir(),
+            ]
+        else:
+            system = [
+                ProgramAir(), ConnectorAir(),
+                PublicValuesAir(self.config.num_pv_words),
+                VolatileBoundaryAir(), RangeCheckerAir(),
+                BitwiseLookupAir(), PhantomAir(),
+            ]
+        self.NUM_SYSTEM_AIRS = len(system)
+        self.airs = system + [_EXECUTOR_AIRS[name]()
+                              for name in self.config.executors]
         self.air_index = {a.name: i for i, a in enumerate(self.airs)}
         self.pk = None
 
@@ -115,6 +129,66 @@ class VirtualMachine:
                     h * a.width for a, h in
                     zip(self.airs[self.NUM_SYSTEM_AIRS:], heights.values()))}
 
+    # -- persistent-memory system traces --------------------------------
+    def _initial_tree(self, exe: VmExe):
+        from .memory_tree import SparseMemoryTree
+        tree = SparseMemoryTree()
+        words: dict = {}
+        for (a_s, addr), byte in exe.init_memory.items():
+            w = words.setdefault((a_s, addr // 4), [0, 0, 0, 0])
+            w[addr % 4] = byte
+        for (a_s, wa), data in words.items():
+            tree.write_word(a_s, wa, data)
+        return tree, words
+
+    def _persistent_traces(self, traces, pre, exe) -> list:
+        """Build persistent boundary + merkle + poseidon2 traces; returns
+        the merkle AIR public values [initial_root || final_root]."""
+        from .memory_tree import hash_leaf, leaf_index
+        tree, init_words_img = self._initial_tree(exe)
+
+        def init_word(a_s, wa):
+            if (a_s, wa) in pre.init_words:
+                return list(pre.init_words[(a_s, wa)])
+            return list(init_words_img.get((a_s, wa), [0, 0, 0, 0]))
+
+        touched = {k: v for k, v in pre.touched.items() if k[0] in (1, 2, 3)}
+        leaves = sorted({(a_s, wa // 2) for (a_s, wa) in touched})
+        leaf_rows = []
+        leaf_updates = {}
+        for (a_s, li) in leaves:
+            init_cells = init_word(a_s, 2 * li) + init_word(a_s, 2 * li + 1)
+            final_cells = list(init_cells)
+            fts = [0, 0]
+            for k in range(2):
+                w = touched.get((a_s, 2 * li + k))
+                if w:
+                    final_cells[4 * k:4 * k + 4] = w[:4]
+                    fts[k] = w[4]
+            leaf_rows.append({"as": a_s, "leaf": li,
+                              "init": init_cells, "final": final_cells,
+                              "fts0": fts[0], "fts1": fts[1]})
+            leaf_updates[leaf_index(a_s, 2 * li)] = (
+                hash_leaf(init_cells), hash_leaf(final_cells))
+
+        boundary_air = self.airs[self.air_index["persistent_boundary"]]
+        merkle_air = self.airs[self.air_index["memory_merkle"]]
+        p2_air = self.airs[self.air_index["poseidon2"]]
+
+        btrace = boundary_air.trace(leaf_rows)
+        mtrace, init_root, final_root = merkle_air.trace(leaf_updates, tree)
+        requests = np.concatenate([boundary_air.p2_requests(btrace),
+                                   merkle_air.p2_requests(mtrace)], axis=0)
+        traces["persistent_boundary"] = btrace
+        traces["memory_merkle"] = mtrace
+        traces["poseidon2"] = p2_air.trace(requests)
+
+        # stash the final tree for pv extraction by callers
+        for (a_s, wa), w in touched.items():
+            tree.write_word(a_s, wa, w[:4])
+        pre.final_memory_tree = tree
+        return [int(x) for x in init_root] + [int(x) for x in final_root]
+
     # -- proving ---------------------------------------------------------
     def prove(self, exe: VmExe, inputs=None, max_insns=None, debug=False,
               native=True):
@@ -144,42 +218,47 @@ class VirtualMachine:
             exe.pc_start, pre.final_pc, pre.final_ts, pre.exit_code,
             1 if pre.exit_code is not None else 0)
 
-        # public values air: data + final ts per word
-        npv = self.config.num_pv_words
-        pvt = np.zeros((npv, self.airs[2].width), dtype=np.uint64)
-        for i in range(npv):
-            w = pre.touched.get((3, i))
-            if w:
-                pvt[i, :4] = w[:4]
-                pvt[i, 4] = w[4]
-        traces["public_values"] = pvt
+        merkle_pvs = None
+        if self.config.persistent:
+            merkle_pvs = self._persistent_traces(traces, pre, exe)
+        else:
+            # public values air: data + final ts per word
+            npv = self.config.num_pv_words
+            pvt = np.zeros((npv, self.airs[self.air_index["public_values"]].width), dtype=np.uint64)
+            for i in range(npv):
+                w = pre.touched.get((3, i))
+                if w:
+                    pvt[i, :4] = w[:4]
+                    pvt[i, 4] = w[4]
+            traces["public_values"] = pvt
 
-        # boundary: touched words in AS 1 and 2, sorted by key
-        entries = sorted((k, v) for k, v in pre.touched.items()
-                         if k[0] in (1, 2))
-        brows = np.zeros((max(len(entries), 1), self.airs[3].width),
-                         dtype=np.uint64)
-        for r, ((a_s, wa), w) in enumerate(entries):
-            init = pre.init_words[(a_s, wa)]
-            brows[r, 0] = 1
-            brows[r, 1] = a_s
-            brows[r, 2] = wa
-            brows[r, 3:7] = init
-            brows[r, 7:11] = w[:4]
-            brows[r, 11] = w[4]
-        keys = [a_s * (1 << 27) + wa for ((a_s, wa), _) in entries]
-        for r in range(len(entries) - 1):
-            d = keys[r + 1] - keys[r] - 1
-            brows[r, 12] = d & 0x7FFF
-            brows[r, 13] = d >> 15
-            brows[r, 14] = 1  # has_next_valid
-        traces["memory_boundary"] = _pad_pow2(brows)
+            # boundary: touched words in AS 1 and 2, sorted by key
+            entries = sorted((k, v) for k, v in pre.touched.items()
+                             if k[0] in (1, 2))
+            brows = np.zeros((max(len(entries), 1),
+                              self.airs[self.air_index["memory_boundary"]]
+                              .width), dtype=np.uint64)
+            for r, ((a_s, wa), w) in enumerate(entries):
+                init = pre.init_words[(a_s, wa)]
+                brows[r, 0] = 1
+                brows[r, 1] = a_s
+                brows[r, 2] = wa
+                brows[r, 3:7] = init
+                brows[r, 7:11] = w[:4]
+                brows[r, 11] = w[4]
+            keys = [a_s * (1 << 27) + wa for ((a_s, wa), _) in entries]
+            for r in range(len(entries) - 1):
+                d = keys[r + 1] - keys[r] - 1
+                brows[r, 12] = d & 0x7FFF
+                brows[r, 13] = d >> 15
+                brows[r, 14] = 1  # has_next_valid
+            traces["memory_boundary"] = _pad_pow2(brows)
 
         # phantom
         ph = pre.records.get("phantom")
         if ph:
             n = len(ph["pc"])
-            pt = np.zeros((n, self.airs[6].width), dtype=np.uint64)
+            pt = np.zeros((n, self.airs[self.air_index["phantom"]].width), dtype=np.uint64)
             pt[:, 0] = 1
             pt[:, 1] = ph["pc"]
             pt[:, 2] = ph["ts"]
@@ -188,7 +267,7 @@ class VirtualMachine:
             pt[:, 5] = ph["c"]
             traces["phantom"] = _pad_pow2(pt)
         else:
-            traces["phantom"] = np.zeros((1, self.airs[6].width),
+            traces["phantom"] = np.zeros((1, self.airs[self.air_index["phantom"]].width),
                                          dtype=np.uint64)
 
         # executor chips
@@ -209,6 +288,12 @@ class VirtualMachine:
         traces["range_checker"] = range_mult
         traces["bitwise_lookup"] = bitwise_mult
 
+        return self._assemble_and_prove(traces, pre, exe, program_cached,
+                                        merkle_pvs, debug)
+
+    def _assemble_and_prove(self, traces, pre, exe, program_cached,
+                            merkle_pvs, debug):
+
         ctxs = []
         for i, air in enumerate(self.airs):
             kwargs = dict(air_id=i, common_main=traces[air.name])
@@ -220,6 +305,8 @@ class VirtualMachine:
                     1 if pre.exit_code is not None else 0]
             if air.name == "public_values":
                 kwargs["public_values"] = list(pre.public_values)
+            if air.name == "memory_merkle" and merkle_pvs is not None:
+                kwargs["public_values"] = merkle_pvs
             ctxs.append(AirProvingContext(**kwargs))
 
         if debug:
@@ -233,7 +320,7 @@ class VirtualMachine:
         """Evaluate every AIR's RANGE/BITWISE sends over its built trace."""
         import jax.numpy as jnp
 
-        range_air: RangeCheckerAir = self.airs[4]
+        range_air: RangeCheckerAir = self.airs[self.air_index["range_checker"]]
         range_h = len(range_air.preprocessed_trace())
         range_mult = np.zeros(range_h, dtype=np.uint64)
         bitwise_mult = np.zeros((1 << 16, 2), dtype=np.uint64)
@@ -312,9 +399,22 @@ class VirtualMachine:
             assert np.array_equal(got, np.asarray(expected_exe_commit,
                                                   dtype=np.uint64)), \
                 "program commitment mismatch"
-        pv_air = proof.per_air[self.air_index["public_values"]]
-        return {
+        result = {
             "initial_pc": conn.public_values[0],
             "final_pc": conn.public_values[1],
-            "public_values": pv_air.public_values,
         }
+        if self.config.persistent:
+            mk = proof.per_air[self.air_index["memory_merkle"]]
+            result["initial_root"] = mk.public_values[:8]
+            result["final_root"] = mk.public_values[8:]
+        else:
+            pv_air = proof.per_air[self.air_index["public_values"]]
+            result["public_values"] = pv_air.public_values
+        return result
+
+    def commit_init_memory(self, exe: VmExe) -> np.ndarray:
+        """Initial-memory Merkle root (persistent mode): the verifier-side
+        anchor that a proof's initial_root must equal (reference
+        compute_exe_commit's init-memory root component)."""
+        tree, _ = self._initial_tree(exe)
+        return tree.root()
