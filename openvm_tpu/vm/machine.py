@@ -141,11 +141,15 @@ class VirtualMachine:
             tree.write_word(a_s, wa, data)
         return tree, words
 
-    def _persistent_traces(self, traces, pre, exe) -> list:
+    def _persistent_traces(self, traces, pre, exe,
+                           initial_tree=None) -> list:
         """Build persistent boundary + merkle + poseidon2 traces; returns
         the merkle AIR public values [initial_root || final_root]."""
         from .memory_tree import hash_leaf, leaf_index
-        tree, init_words_img = self._initial_tree(exe)
+        if initial_tree is not None:
+            tree, init_words_img = initial_tree
+        else:
+            tree, init_words_img = self._initial_tree(exe)
 
         def init_word(a_s, wa):
             if (a_s, wa) in pre.init_words:
@@ -191,9 +195,11 @@ class VirtualMachine:
 
     # -- proving ---------------------------------------------------------
     def prove(self, exe: VmExe, inputs=None, max_insns=None, debug=False,
-              native=True):
+              native=True, state=None, initial_tree=None):
         assert self.pk is not None, "call keygen() first"
         pre = None
+        if state is not None:
+            native = False
         if native:
             try:
                 from .native import native_preflight
@@ -202,7 +208,8 @@ class VirtualMachine:
                 pre = None  # no toolchain: python fallback
         if pre is None:
             pre = PreflightInterpreter(
-                exe, self.config.num_pv_words).execute(inputs, max_insns)
+                exe, self.config.num_pv_words).execute(inputs, max_insns,
+                                                       state=state)
 
         traces: dict[str, np.ndarray] = {}
         # program: cached [pc|opcode|operands], common [mult]
@@ -214,13 +221,16 @@ class VirtualMachine:
         traces["program"] = mult
         program_cached = cached
 
+        suspended = pre.exit_code is None
+        initial_pc = state["pc"] if state is not None else exe.pc_start
         traces["connector"] = connector_trace(
-            exe.pc_start, pre.final_pc, pre.final_ts, pre.exit_code,
-            1 if pre.exit_code is not None else 0)
+            initial_pc, pre.final_pc, pre.final_ts,
+            42 if suspended else pre.exit_code, 0 if suspended else 1)
 
         merkle_pvs = None
         if self.config.persistent:
-            merkle_pvs = self._persistent_traces(traces, pre, exe)
+            merkle_pvs = self._persistent_traces(traces, pre, exe,
+                                                 initial_tree=initial_tree)
         else:
             # public values air: data + final ts per word
             npv = self.config.num_pv_words
@@ -289,10 +299,10 @@ class VirtualMachine:
         traces["bitwise_lookup"] = bitwise_mult
 
         return self._assemble_and_prove(traces, pre, exe, program_cached,
-                                        merkle_pvs, debug)
+                                        merkle_pvs, debug, state)
 
     def _assemble_and_prove(self, traces, pre, exe, program_cached,
-                            merkle_pvs, debug):
+                            merkle_pvs, debug, state=None):
 
         ctxs = []
         for i, air in enumerate(self.airs):
@@ -300,9 +310,11 @@ class VirtualMachine:
             if air.name == "program":
                 kwargs["cached_mains"] = [program_cached]
             if air.name == "connector":
+                suspended = pre.exit_code is None
                 kwargs["public_values"] = [
-                    exe.pc_start, pre.final_pc, pre.exit_code or 0,
-                    1 if pre.exit_code is not None else 0]
+                    state["pc"] if state is not None else exe.pc_start,
+                    pre.final_pc, 42 if suspended else pre.exit_code,
+                    0 if suspended else 1]
             if air.name == "public_values":
                 kwargs["public_values"] = list(pre.public_values)
             if air.name == "memory_merkle" and merkle_pvs is not None:
@@ -382,6 +394,69 @@ class VirtualMachine:
                     np.add.at(bitwise_mult, (idxs, is_xor.astype(np.int64)),
                               counts[nz])
         return range_mult[:, None], bitwise_mult
+
+    # -- continuations ---------------------------------------------------
+    def prove_continuations(self, exe: VmExe, inputs=None,
+                            max_insns_per_segment: int = 1 << 20,
+                            debug=False):
+        """Segmented proving (persistent mode): suspend at the instruction
+        budget, carry VmState, chain (pc, memory-root) across segments
+        (reference VmInstance::prove_continuations, arch/vm.rs:966-1021).
+        """
+        assert self.config.persistent, "continuations need persistent mode"
+        tree, words = self._initial_tree(exe)
+        state = None
+        proofs = []
+        while True:
+            proof, pre = self.prove(
+                exe, inputs=inputs if state is None else None,
+                max_insns=max_insns_per_segment, state=state,
+                initial_tree=(tree, dict(words)), native=False, debug=debug)
+            proofs.append(proof)
+            if pre.exit_code is not None:
+                return proofs, pre.final_memory_tree
+            state = pre.suspended_state
+            tree = pre.final_memory_tree
+            words = state["memory_words"]
+
+    def verify_segments(self, proofs, exe: VmExe,
+                        expected_exe_commit=None):
+        """Chain checks across segment proofs (reference verify_segments,
+        arch/vm.rs:1107-1237): per-segment STARK validity, program-commit
+        equality, pc chaining, memory-root chaining, suspend/terminate
+        discipline.  Returns the final root for pv extraction."""
+        assert proofs
+        prev_conn = prev_mk = None
+        init_root = [int(x) for x in self.commit_init_memory(exe)]
+        for i, proof in enumerate(proofs):
+            stark_verify(self.pk.vk, proof)
+            assert [p.air_id for p in proof.per_air] == list(
+                range(len(self.airs))), "missing AIRs"
+            if expected_exe_commit is not None:
+                got = np.asarray(proof.commitments.main_trace[0],
+                                 dtype=np.uint64)
+                assert np.array_equal(
+                    got, np.asarray(expected_exe_commit, dtype=np.uint64)), \
+                    "program commitment mismatch"
+            conn = proof.per_air[self.air_index["connector"]].public_values
+            mk = proof.per_air[self.air_index["memory_merkle"]].public_values
+            if i == 0:
+                assert conn[0] == exe.pc_start, "wrong entry pc"
+                assert list(mk[:8]) == init_root, "wrong initial memory root"
+            else:
+                assert prev_conn[1] == conn[0], "pc chain broken"
+                assert list(prev_mk[8:]) == list(mk[:8]), \
+                    "memory root chain broken"
+            last = i == len(proofs) - 1
+            if last:
+                assert conn[3] == 1, "final segment did not terminate"
+                assert conn[2] == 0, f"exit code {conn[2]}"
+            else:
+                assert conn[3] == 0 and conn[2] == 42, \
+                    "non-final segment must suspend with exit code 42"
+            prev_conn, prev_mk = conn, mk
+        return {"final_root": list(prev_mk[8:]),
+                "num_segments": len(proofs)}
 
     # -- verification ----------------------------------------------------
     def verify(self, proof, expected_exe_commit=None):

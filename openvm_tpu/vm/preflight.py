@@ -42,14 +42,19 @@ class PreflightResult:
     exit_code: int = 0
     instret: int = 0
     public_values: list = None  # 4*num_pv_words bytes
+    suspended_state: dict = None  # set when max_insns hit (segment suspend)
 
 
 class PreflightMemory:
     """Word-granular memory with last-access timestamps."""
 
-    def __init__(self, init_memory: dict):
+    def __init__(self, init_memory: dict, initial_words: dict | None = None):
         self.words: dict = {}
         self.init_words: dict = {}
+        if initial_words is not None:
+            # continuation segment: start from carried word state
+            self._image = {k: list(v) for k, v in initial_words.items()}
+            return
         # group byte image into words
         grouped = defaultdict(lambda: [0, 0, 0, 0])
         for (a_s, addr), byte in init_memory.items():
@@ -92,16 +97,27 @@ class PreflightInterpreter:
         self.exe = exe
         self.num_pv_words = num_pv_words
 
-    def execute(self, inputs=None, max_insns: int | None = None
-                ) -> PreflightResult:
+    def execute(self, inputs=None, max_insns: int | None = None,
+                state: dict | None = None) -> PreflightResult:
+        """state (continuation segments): {"pc", "memory_words", "streams"}.
+
+        When `max_insns` is reached the run SUSPENDS (reference exit code
+        42 convention): exit_code stays None and the result carries the
+        resumable state in `.suspended_state`.
+        """
         exe = self.exe
-        mem = PreflightMemory(exe.init_memory)
-        streams = Streams()
-        if inputs:
-            streams.input_stream = [list(x) for x in inputs]
+        if state is not None:
+            mem = PreflightMemory({}, initial_words=state["memory_words"])
+            streams = state["streams"]
+            pc = state["pc"]
+        else:
+            mem = PreflightMemory(exe.init_memory)
+            streams = Streams()
+            if inputs:
+                streams.input_stream = [list(x) for x in inputs]
+            pc = exe.pc_start
         recs: dict = defaultdict(lambda: defaultdict(list))
         exec_counts: dict = defaultdict(int)
-        pc = exe.pc_start
         ts = B.INITIAL_TIMESTAMP
         pc_base, step = exe.program.pc_base, exe.program.step
         instret = 0
@@ -111,7 +127,11 @@ class PreflightInterpreter:
             data, pts = mem.read(1, idx, ts + tick)
             return data, pts
 
+        suspended = False
         while exit_code is None:
+            if max_insns is not None and instret >= max_insns:
+                suspended = True  # segment boundary (reference exit code 42)
+                break
             idx = (pc - pc_base) // step
             insn = exe.program.get(pc)
             if insn is None:
@@ -125,8 +145,6 @@ class PreflightInterpreter:
             exec_counts[idx] += 1
             a, b, c, d, e, f, g = insn.operands()
             instret += 1
-            if max_insns is not None and instret > max_insns:
-                raise ExecutionError("instruction limit exceeded")
 
             if BaseAluOpcode.ADD <= op <= BaseAluOpcode.AND:
                 r = recs["rv32_base_alu"]
@@ -434,11 +452,18 @@ class PreflightInterpreter:
             w = mem.words.get((3, i))
             if w:
                 pvs[4 * i:4 * i + 4] = w[:4]
-        return PreflightResult(
+        result = PreflightResult(
             records=out, touched=dict(mem.words),
             init_words=dict(mem.init_words), exec_counts=dict(exec_counts),
             final_pc=pc, final_ts=ts, exit_code=exit_code, instret=instret,
             public_values=pvs)
+        if suspended:
+            carried = {k: list(v) for k, v in mem._image.items()}
+            for (a_s, wa), w in mem.words.items():
+                carried[(a_s, wa)] = list(w[:4])
+            result.suspended_state = {"pc": pc, "memory_words": carried,
+                                      "streams": streams}
+        return result
 
 
 def _append(__rec, **kwargs):
