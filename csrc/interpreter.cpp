@@ -217,6 +217,118 @@ ExecResult execute_e1(const int64_t* opcode, const int64_t* oa,
       }
       if (a) regs[a / 4] = v;
       pc += 4;
+    } else if ((op >= 0x400 && op <= 0x409) || op == 0x450 ||
+               (op >= 0x420 && op <= 0x428)) {
+      // Int256 (bigint) extension: 256-bit heap ops (vm/circuit/bigint.py)
+      const bool is_branch = op >= 0x420 && op <= 0x428;
+      uint32_t p1 = is_branch ? regs[a / 4] : regs[b / 4];
+      uint32_t p2 = is_branch ? regs[b / 4] : regs[c / 4];
+      uint32_t pd = is_branch ? 0 : regs[a / 4];
+      auto bad_ptr = [](uint32_t p) {
+        return (p % 4) || p >= (1u << 29);
+      };
+      if (bad_ptr(p1) || bad_ptr(p2) || (!is_branch && bad_ptr(pd))) {
+        res.error = 1; break;
+      }
+      if (!mem_ok(p1, 32) || !mem_ok(p2, 32) ||
+          (!is_branch && !mem_ok(pd, 32))) { res.error = 1; break; }
+      uint64_t x[4], y[4], z[4] = {0, 0, 0, 0};
+      std::memcpy(x, memory + p1, 32);
+      std::memcpy(y, memory + p2, 32);
+      auto add256 = [](const uint64_t* u, const uint64_t* v, uint64_t* w) {
+        unsigned __int128 cr = 0;
+        for (int i = 0; i < 4; i++) {
+          cr += static_cast<unsigned __int128>(u[i]) + v[i];
+          w[i] = static_cast<uint64_t>(cr);
+          cr >>= 64;
+        }
+      };
+      auto sub256 = [](const uint64_t* u, const uint64_t* v, uint64_t* w) {
+        unsigned __int128 br = 0;
+        for (int i = 0; i < 4; i++) {
+          unsigned __int128 d = static_cast<unsigned __int128>(u[i])
+              - v[i] - static_cast<uint64_t>(br);
+          w[i] = static_cast<uint64_t>(d);
+          br = (d >> 64) ? 1 : 0;
+        }
+      };
+      auto ltu256 = [](const uint64_t* u, const uint64_t* v) {
+        for (int i = 3; i >= 0; i--) {
+          if (u[i] != v[i]) return u[i] < v[i];
+        }
+        return false;
+      };
+      auto lts256 = [&](const uint64_t* u, const uint64_t* v) {
+        bool su = u[3] >> 63, sv = v[3] >> 63;
+        if (su != sv) return su;
+        return ltu256(u, v);
+      };
+      auto shl256 = [](const uint64_t* u, unsigned s, uint64_t* w) {
+        unsigned wsh = s / 64, bsh = s % 64;
+        for (int i = 3; i >= 0; i--) {
+          uint64_t v = 0;
+          int src = i - static_cast<int>(wsh);
+          if (src >= 0) v = u[src] << bsh;
+          if (bsh && src - 1 >= 0) v |= u[src - 1] >> (64 - bsh);
+          w[i] = v;
+        }
+      };
+      auto shr256 = [](const uint64_t* u, unsigned s, uint64_t fill,
+                       uint64_t* w) {
+        unsigned wsh = s / 64, bsh = s % 64;
+        for (int i = 0; i < 4; i++) {
+          uint64_t v;
+          unsigned src = i + wsh;
+          v = src < 4 ? u[src] >> bsh : fill;
+          if (bsh) {
+            uint64_t hi = src + 1 < 4 ? u[src + 1] : fill;
+            v |= hi << (64 - bsh);
+          }
+          w[i] = v;
+        }
+      };
+      auto mul256 = [](const uint64_t* u, const uint64_t* v, uint64_t* w) {
+        uint64_t acc[4] = {0, 0, 0, 0};
+        for (int i = 0; i < 4; i++) {
+          unsigned __int128 carry = 0;
+          for (int j = 0; i + j < 4; j++) {
+            unsigned __int128 t = static_cast<unsigned __int128>(u[i]) * v[j]
+                + acc[i + j] + static_cast<uint64_t>(carry);
+            acc[i + j] = static_cast<uint64_t>(t);
+            carry = t >> 64;
+          }
+        }
+        std::memcpy(w, acc, 32);
+      };
+      if (is_branch) {
+        bool taken;
+        if (op == 0x420) taken = std::memcmp(x, y, 32) == 0;
+        else if (op == 0x421) taken = std::memcmp(x, y, 32) != 0;
+        else {
+          bool lt = (op == 0x425 || op == 0x427) ? lts256(x, y)
+                                                 : ltu256(x, y);
+          taken = (op == 0x425 || op == 0x426) ? lt : !lt;
+        }
+        int32_t off = c > kP / 2 ? static_cast<int32_t>(c - kP) : c;
+        pc = taken ? pc + off : pc + 4;
+      } else {
+        unsigned s = static_cast<unsigned>(y[0] & 255);
+        switch (op) {
+          case 0x400: add256(x, y, z); break;
+          case 0x401: sub256(x, y, z); break;
+          case 0x402: for (int i = 0; i < 4; i++) z[i] = x[i] ^ y[i]; break;
+          case 0x403: for (int i = 0; i < 4; i++) z[i] = x[i] | y[i]; break;
+          case 0x404: for (int i = 0; i < 4; i++) z[i] = x[i] & y[i]; break;
+          case 0x405: shl256(x, s, z); break;
+          case 0x406: shr256(x, s, 0, z); break;
+          case 0x407: shr256(x, s, (x[3] >> 63) ? ~0ull : 0, z); break;
+          case 0x408: z[0] = lts256(x, y); break;
+          case 0x409: z[0] = ltu256(x, y); break;
+          default: mul256(x, y, z); break;  // 0x450
+        }
+        std::memcpy(memory + pd, z, 32);
+        pc += 4;
+      }
     } else if (op == HINT_STOREW || op == HINT_BUFFER) {
       uint32_t mem_ptr = regs[b / 4];
       uint32_t num_words = op == HINT_STOREW ? 1 : regs[a / 4];

@@ -22,23 +22,43 @@ def _load_exe(path: str):
     return Sdk.transpile(open(path, "rb").read())
 
 
+def _parse_inputs(items):
+    out = []
+    for h in items or []:
+        try:
+            out.append(bytes.fromhex(h))
+        except ValueError:
+            sys.exit(f"error: --input {h!r} is not valid hex")
+    return out
+
+
 def cmd_run(args):
-    from .sdk import Sdk
-    sdk = Sdk()
+    sdk = _sdk_for(args)
     exe = _load_exe(args.elf)
-    inputs = [bytes.fromhex(h) for h in args.input or []]
-    st = sdk.execute(exe, inputs=[list(b) for b in inputs])
+    inputs = _parse_inputs(args.input)
+    from .vm.interpreter import ExecutionError
+    try:
+        st = sdk.execute(exe, inputs=[list(b) for b in inputs])
+    except (RuntimeError, ExecutionError) as ex:
+        sys.exit(f"error: execution failed: {ex}")
     pvs = bytes(st.public_values.get(i, 0) for i in range(32))
     print(f"exit_code={st.exit_code} instret={st.instret}")
     print(f"public_values={pvs.hex()}")
     return 0 if st.exit_code == 0 else 1
 
 
-def cmd_prove(args):
+def _sdk_for(args):
     from .sdk import Sdk
-    sdk = Sdk()
+    if getattr(args, "bigint", False):
+        from .vm.machine import Rv32Config
+        return Sdk(Rv32Config(bigint=True))
+    return Sdk()
+
+
+def cmd_prove(args):
+    sdk = _sdk_for(args)
     exe = _load_exe(args.elf)
-    inputs = [list(bytes.fromhex(h)) for h in args.input or []]
+    inputs = [list(b) for b in _parse_inputs(args.input)]
     t0 = time.time()
     pk = sdk.app_keygen(exe)
     print(f"keygen: {time.time() - t0:.1f}s", file=sys.stderr)
@@ -52,8 +72,7 @@ def cmd_prove(args):
 
 
 def cmd_verify(args):
-    from .sdk import Sdk
-    sdk = Sdk()
+    sdk = _sdk_for(args)
     exe = _load_exe(args.elf)
     with open(args.proof, "rb") as f:
         proof = pickle.load(f)
@@ -78,11 +97,15 @@ def main(argv=None):
     pp.add_argument("--input", action="append")
     pp.add_argument("--out", default="proof.pkl")
     pp.add_argument("--max-insns", type=int, default=None)
+    pp.add_argument("--bigint", action="store_true",
+                    help="enable the Int256 extension chips")
     pp.set_defaults(fn=cmd_prove)
 
     pv = sub.add_parser("verify", help="verify a proof")
     pv.add_argument("elf")
     pv.add_argument("proof")
+    pv.add_argument("--bigint", action="store_true",
+                    help="enable the Int256 extension chips")
     pv.set_defaults(fn=cmd_verify)
 
     args = p.parse_args(argv)

@@ -50,12 +50,17 @@ class Sdk:
             try:
                 from .vm.native import NativeInterpreter
                 st = NativeInterpreter(exe).execute(inputs, max_insns)
-                if st.error:
+                if st.error == "unsupported opcode":
+                    # extension opcodes the C++ interpreter doesn't cover
+                    st = None
+                elif st.error:
                     raise RuntimeError(st.error)
             except (OSError, subprocess.CalledProcessError):
                 st = None  # toolchain unavailable: python fallback
         if st is None:
-            st = Interpreter(exe).execute(inputs, max_insns)
+            st = Interpreter(exe, moduli=self.config.moduli,
+                             curves=self.config.curves,
+                             fp2=self.config.fp2).execute(inputs, max_insns)
         dt = time.time() - t0
         metrics.gauge("execute_e1_time_ms", round(dt * 1000, 3))
         if dt > 0:

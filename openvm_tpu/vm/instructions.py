@@ -121,6 +121,42 @@ class Rv32HintStoreOpcode:
     HINT_BUFFER = 0x261
 
 
+class BaseAlu256Opcode:
+    """256-bit ALU (reference Rv32BaseAlu256Opcode, opcode_offset 0x400)."""
+    ADD = 0x400
+    SUB = 0x401
+    XOR = 0x402
+    OR = 0x403
+    AND = 0x404
+
+
+class Shift256Opcode:
+    SLL = 0x405
+    SRL = 0x406
+    SRA = 0x407
+
+
+class LessThan256Opcode:
+    SLT = 0x408
+    SLTU = 0x409
+
+
+class BranchEqual256Opcode:
+    BEQ = 0x420
+    BNE = 0x421
+
+
+class BranchLessThan256Opcode:
+    BLT = 0x425
+    BLTU = 0x426
+    BGE = 0x427
+    BGEU = 0x428
+
+
+class Mul256Opcode:
+    MUL = 0x450
+
+
 class SysPhantom:
     NOP = 0
     DEBUG_PANIC = 1

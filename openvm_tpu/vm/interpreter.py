@@ -18,13 +18,16 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from .instructions import (BaseAluOpcode, BranchEqualOpcode,
-                           BranchLessThanOpcode, DivRemOpcode,
-                           LessThanOpcode, MulHOpcode, MulOpcode, P, Program,
+from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
+                           BranchEqual256Opcode, BranchEqualOpcode,
+                           BranchLessThan256Opcode, BranchLessThanOpcode,
+                           DivRemOpcode, LessThan256Opcode, LessThanOpcode,
+                           Mul256Opcode, MulHOpcode, MulOpcode, P, Program,
                            PublishOpcode, Rv32AuipcOpcode,
                            Rv32HintStoreOpcode, Rv32JalLuiOpcode,
                            Rv32JalrOpcode, Rv32LoadStoreOpcode, Rv32Phantom,
-                           ShiftOpcode, SysPhantom, SystemOpcode, VmExe)
+                           Shift256Opcode, ShiftOpcode, SysPhantom,
+                           SystemOpcode, VmExe)
 
 M32 = 0xFFFFFFFF
 
@@ -95,8 +98,11 @@ def _imm16(c: int, g: int) -> int:
 class Interpreter:
     """Precomputed-handler interpreter for a fixed VmExe."""
 
-    def __init__(self, exe: VmExe):
+    def __init__(self, exe: VmExe, moduli=(), curves=(), fp2=()):
         self.exe = exe
+        self.moduli = tuple(moduli)
+        self.curves = tuple(curves)
+        self.fp2 = tuple(fp2)
         self.program = exe.program
         self.handlers = [self._compile(insn) if insn is not None else None
                          for insn in self.program.instructions]
@@ -377,6 +383,200 @@ class Interpreter:
                     st.regs[ra] = v
                 st.pc = (st.pc + 4) & M32
             return h
+
+        # ---- Int256 (bigint) extension ----
+        if ((BaseAlu256Opcode.ADD <= op <= LessThan256Opcode.SLTU)
+                or op == Mul256Opcode.MUL):
+            M256 = (1 << 256) - 1
+
+            def h(st, op=op, ra=ra, rb=rb, rc=rc):
+                p1, p2, pd = st.regs[rb], st.regs[rc], st.regs[ra]
+                for p_ in (p1, p2, pd):
+                    if p_ % 4 != 0 or p_ >= (1 << 29):
+                        raise ExecutionError(
+                            f"bad int256 pointer {p_:#x} at pc {st.pc:#x}")
+                st.ensure_mem(max(p1, p2) + 32, 32)
+                x = int.from_bytes(st.memory[p1:p1 + 32], "little")
+                y = int.from_bytes(st.memory[p2:p2 + 32], "little")
+                if op == BaseAlu256Opcode.ADD:
+                    z = (x + y) & M256
+                elif op == BaseAlu256Opcode.SUB:
+                    z = (x - y) & M256
+                elif op == BaseAlu256Opcode.XOR:
+                    z = x ^ y
+                elif op == BaseAlu256Opcode.OR:
+                    z = x | y
+                elif op == BaseAlu256Opcode.AND:
+                    z = x & y
+                elif op == Shift256Opcode.SLL:
+                    z = (x << (y & 255)) & M256
+                elif op == Shift256Opcode.SRL:
+                    z = x >> (y & 255)
+                elif op == Shift256Opcode.SRA:
+                    sx_ = x - (1 << 256) if x >> 255 else x
+                    z = (sx_ >> (y & 255)) & M256
+                elif op == LessThan256Opcode.SLT:
+                    sx_ = x - (1 << 256) if x >> 255 else x
+                    sy_ = y - (1 << 256) if y >> 255 else y
+                    z = int(sx_ < sy_)
+                elif op == LessThan256Opcode.SLTU:
+                    z = int(x < y)
+                else:  # MUL256
+                    z = (x * y) & M256
+                st.ensure_mem(pd, 32)
+                st.memory[pd:pd + 32] = z.to_bytes(32, "little")
+                st.pc = (st.pc + 4) & M32
+            return h
+
+        if BranchEqual256Opcode.BEQ <= op <= BranchLessThan256Opcode.BGEU:
+            off = c if c <= P // 2 else c - P
+
+            def h(st, op=op, ra=ra, rb=rb, off=off):
+                p1, p2 = st.regs[ra], st.regs[rb]
+                for p_ in (p1, p2):
+                    if p_ % 4 != 0 or p_ >= (1 << 29):
+                        raise ExecutionError(
+                            f"bad int256 pointer {p_:#x} at pc {st.pc:#x}")
+                st.ensure_mem(max(p1, p2) + 32, 32)
+                x = int.from_bytes(st.memory[p1:p1 + 32], "little")
+                y = int.from_bytes(st.memory[p2:p2 + 32], "little")
+                if op == BranchEqual256Opcode.BEQ:
+                    taken = x == y
+                elif op == BranchEqual256Opcode.BNE:
+                    taken = x != y
+                else:
+                    if op in (BranchLessThan256Opcode.BLT,
+                              BranchLessThan256Opcode.BGE):
+                        x = x - (1 << 256) if x >> 255 else x
+                        y = y - (1 << 256) if y >> 255 else y
+                    lt = x < y
+                    taken = lt if op in (BranchLessThan256Opcode.BLT,
+                                         BranchLessThan256Opcode.BLTU
+                                         ) else not lt
+                st.pc = (st.pc + off) & M32 if taken else (st.pc + 4) & M32
+            return h
+
+        # ---- modular arithmetic (algebra) extension ----
+        if 0x500 <= op < 0x540 and self.moduli:
+            mod_idx = (op - 0x500) // 8
+            base = (op - 0x500) % 8
+            if mod_idx < len(self.moduli) and base in (0, 1, 3, 4, 6):
+                Nmod = self.moduli[mod_idx]
+
+                def h(st, base=base, Nmod=Nmod, ra=ra, rb=rb, rc=rc):
+                    p1, p2 = st.regs[rb], st.regs[rc]
+                    for p_ in (p1, p2):
+                        if p_ % 4 != 0 or p_ >= (1 << 29):
+                            raise ExecutionError(
+                                f"bad modular pointer {p_:#x}")
+                    st.ensure_mem(max(p1, p2) + 32, 32)
+                    x = int.from_bytes(st.memory[p1:p1 + 32], "little")
+                    y = int.from_bytes(st.memory[p2:p2 + 32], "little")
+                    if base == 6:  # IS_EQ -> u32 register write
+                        if x >= Nmod or y >= Nmod:
+                            raise ExecutionError("is_eq input not reduced")
+                        if ra:
+                            st.regs[ra] = int(x == y)
+                        st.pc = (st.pc + 4) & M32
+                        return
+                    if base == 0:
+                        z = (x + y) % Nmod
+                    elif base == 1:
+                        z = (x - y) % Nmod
+                    elif base == 3:
+                        z = (x * y) % Nmod
+                    else:
+                        if y % Nmod == 0:
+                            raise ExecutionError("modular division by zero")
+                        z = (x * pow(y, -1, Nmod)) % Nmod
+                    pd = st.regs[ra]
+                    if pd % 4 != 0 or pd >= (1 << 29):
+                        raise ExecutionError(f"bad modular pointer {pd:#x}")
+                    st.ensure_mem(pd, 32)
+                    st.memory[pd:pd + 32] = z.to_bytes(32, "little")
+                    st.pc = (st.pc + 4) & M32
+                return h
+
+        # ---- ECC (short Weierstrass) extension ----
+        if 0x600 <= op < 0x600 + 4 * len(self.curves):
+            curve_idx = (op - 0x600) // 4
+            base = (op - 0x600) % 4
+            pmod, acoef = self.curves[curve_idx]
+            if base in (0, 2):
+                def h(st, base=base, pmod=pmod, acoef=acoef, ra=ra, rb=rb,
+                      rc=rc):
+                    p1 = st.regs[rb]
+                    pd = st.regs[ra]
+                    ptrs = [p1, pd] + ([st.regs[rc]] if base == 0 else [])
+                    for p_ in ptrs:
+                        if p_ % 4 != 0 or p_ >= (1 << 29):
+                            raise ExecutionError(f"bad ec pointer {p_:#x}")
+                    st.ensure_mem(p1, 64)
+                    x1 = int.from_bytes(st.memory[p1:p1 + 32], "little")
+                    y1 = int.from_bytes(st.memory[p1 + 32:p1 + 64],
+                                        "little")
+                    if base == 0:  # EC_ADD_NE
+                        p2 = st.regs[rc]
+                        st.ensure_mem(p2, 64)
+                        x2 = int.from_bytes(st.memory[p2:p2 + 32], "little")
+                        y2 = int.from_bytes(st.memory[p2 + 32:p2 + 64],
+                                            "little")
+                        if (x1 - x2) % pmod == 0:
+                            raise ExecutionError("EC_ADD_NE with equal x")
+                        lam = ((y2 - y1)
+                               * pow((x2 - x1) % pmod, -1, pmod)) % pmod
+                        x3 = (lam * lam - x1 - x2) % pmod
+                    else:  # EC_DOUBLE
+                        if y1 % pmod == 0:
+                            raise ExecutionError(
+                                "EC_DOUBLE of 2-torsion point")
+                        lam = ((3 * x1 * x1 + acoef)
+                               * pow((2 * y1) % pmod, -1, pmod)) % pmod
+                        x3 = (lam * lam - 2 * x1) % pmod
+                    y3 = (lam * (x1 - x3) - y1) % pmod
+                    st.ensure_mem(pd, 64)
+                    st.memory[pd:pd + 32] = x3.to_bytes(32, "little")
+                    st.memory[pd + 32:pd + 64] = y3.to_bytes(32, "little")
+                    st.pc = (st.pc + 4) & M32
+                return h
+
+        # ---- Fp2 (complex extension field) ----
+        if 0x710 <= op < 0x710 + 6 * len(self.fp2):
+            fp2_idx = (op - 0x710) // 6
+            base = (op - 0x710) % 6
+            pmod = self.fp2[fp2_idx]
+            if base in (0, 1, 3, 4):
+                def h(st, base=base, pmod=pmod, ra=ra, rb=rb, rc=rc):
+                    from .circuit.fp2 import fp2_div, fp2_mul
+                    p1, p2, pd = st.regs[rb], st.regs[rc], st.regs[ra]
+                    for p_ in (p1, p2, pd):
+                        if p_ % 4 != 0 or p_ >= (1 << 29):
+                            raise ExecutionError(f"bad fp2 pointer {p_:#x}")
+                    st.ensure_mem(max(p1, p2) + 64, 64)
+                    a0 = int.from_bytes(st.memory[p1:p1 + 32],
+                                        "little") % pmod
+                    a1 = int.from_bytes(st.memory[p1 + 32:p1 + 64],
+                                        "little") % pmod
+                    b0 = int.from_bytes(st.memory[p2:p2 + 32],
+                                        "little") % pmod
+                    b1 = int.from_bytes(st.memory[p2 + 32:p2 + 64],
+                                        "little") % pmod
+                    if base == 0:
+                        z0, z1 = (a0 + b0) % pmod, (a1 + b1) % pmod
+                    elif base == 1:
+                        z0, z1 = (a0 - b0) % pmod, (a1 - b1) % pmod
+                    elif base == 3:
+                        z0, z1 = fp2_mul(pmod, a0, a1, b0, b1)
+                    else:
+                        try:
+                            z0, z1 = fp2_div(pmod, a0, a1, b0, b1)
+                        except ZeroDivisionError:
+                            raise ExecutionError("fp2 division by zero")
+                    st.ensure_mem(pd, 64)
+                    st.memory[pd:pd + 32] = z0.to_bytes(32, "little")
+                    st.memory[pd + 32:pd + 64] = z1.to_bytes(32, "little")
+                    st.pc = (st.pc + 4) & M32
+                return h
 
         # ---- hints ----
         if op in (Rv32HintStoreOpcode.HINT_STOREW,

@@ -45,6 +45,17 @@ class Rv32Config:
     # executor chip families to include (reference VmConfig's modular
     # extension list, config.rs:60-103); tests can use a reduced set
     executors: tuple = FULL_EXECUTORS
+    # enable the Int256 (bigint) extension chips (reference
+    # extensions/bigint, SURVEY.md section 2.8)
+    bigint: bool = False
+    # modular-arithmetic (algebra) extension: one chip trio per modulus
+    # (reference ModularExtension{supported_moduli}, SURVEY.md section 2.9)
+    moduli: tuple = ()
+    # ECC extension: (modulus, a_coeff) per short-Weierstrass curve
+    # (reference WeierstrassExtension{supported_curves}, SURVEY.md 2.10)
+    curves: tuple = ()
+    # Fp2 (complex extension field) moduli (reference Fp2Extension)
+    fp2: tuple = ()
     # persistent memory: Merkle-committed memory state (continuations mode,
     # reference SystemConfig.continuation_enabled)
     persistent: bool = False
@@ -63,6 +74,17 @@ _EXECUTOR_AIRS = {
     "auipc": AuipcAir, "loadstore": LoadStoreAir, "shift": ShiftAir,
     "mul": MulAir, "divrem": DivRemAir, "hintstore": HintStoreAir,
 }
+
+
+def _register_int256():
+    from .circuit.bigint import INT256_AIRS
+    _EXECUTOR_AIRS.update(INT256_AIRS)
+
+
+_register_int256()
+
+INT256_EXECUTORS = ("int256_alu", "int256_lt", "int256_mul", "int256_beq",
+                    "int256_blt", "int256_shift")
 
 
 class VirtualMachine:
@@ -85,8 +107,20 @@ class VirtualMachine:
                 BitwiseLookupAir(), PhantomAir(),
             ]
         self.NUM_SYSTEM_AIRS = len(system)
-        self.airs = system + [_EXECUTOR_AIRS[name]()
-                              for name in self.config.executors]
+        executors = tuple(self.config.executors)
+        if self.config.bigint:
+            executors += tuple(n for n in INT256_EXECUTORS
+                               if n not in executors)
+        self.airs = system + [_EXECUTOR_AIRS[name]() for name in executors]
+        if self.config.moduli:
+            from .circuit.modular import modular_airs
+            self.airs += list(modular_airs(self.config.moduli).values())
+        if self.config.curves:
+            from .circuit.ecc import ecc_airs
+            self.airs += list(ecc_airs(self.config.curves).values())
+        if self.config.fp2:
+            from .circuit.fp2 import fp2_airs
+            self.airs += list(fp2_airs(self.config.fp2).values())
         self.air_index = {a.name: i for i, a in enumerate(self.airs)}
         self.pk = None
 
@@ -206,10 +240,16 @@ class VirtualMachine:
                 pre = native_preflight(exe, inputs, max_insns)
             except (OSError, ImportError):
                 pre = None  # no toolchain: python fallback
+            except Exception as ex:
+                # extension opcodes the C++ preflight doesn't cover yet
+                if "unsupported opcode" not in str(ex):
+                    raise
+                pre = None
         if pre is None:
             pre = PreflightInterpreter(
-                exe, self.config.num_pv_words).execute(inputs, max_insns,
-                                                       state=state)
+                exe, self.config.num_pv_words, moduli=self.config.moduli,
+                curves=self.config.curves,
+                fp2=self.config.fp2).execute(inputs, max_insns, state=state)
 
         traces: dict[str, np.ndarray] = {}
         # program: cached [pc|opcode|operands], common [mult]

@@ -19,13 +19,15 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .circuit import buses as B
-from .instructions import (BaseAluOpcode, BranchEqualOpcode,
-                           BranchLessThanOpcode, DivRemOpcode,
-                           LessThanOpcode, MulHOpcode, MulOpcode, P,
+from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
+                           BranchEqual256Opcode, BranchEqualOpcode,
+                           BranchLessThan256Opcode, BranchLessThanOpcode,
+                           DivRemOpcode, LessThan256Opcode, LessThanOpcode,
+                           Mul256Opcode, MulHOpcode, MulOpcode, P,
                            Rv32AuipcOpcode, Rv32HintStoreOpcode,
                            Rv32JalLuiOpcode, Rv32JalrOpcode,
-                           Rv32LoadStoreOpcode, Rv32Phantom, ShiftOpcode,
-                           SystemOpcode, VmExe)
+                           Rv32LoadStoreOpcode, Rv32Phantom, Shift256Opcode,
+                           ShiftOpcode, SystemOpcode, VmExe)
 from .interpreter import ExecutionError, Streams, _imm16, _imm24, _s32, _sx
 
 M32 = 0xFFFFFFFF
@@ -93,9 +95,13 @@ def _from_limbs(limbs):
 
 
 class PreflightInterpreter:
-    def __init__(self, exe: VmExe, num_pv_words: int = 8):
+    def __init__(self, exe: VmExe, num_pv_words: int = 8, moduli=(),
+                 curves=(), fp2=()):
         self.exe = exe
         self.num_pv_words = num_pv_words
+        self.moduli = tuple(moduli)
+        self.curves = tuple(curves)
+        self.fp2 = tuple(fp2)
 
     def execute(self, inputs=None, max_insns: int | None = None,
                 state: dict | None = None) -> PreflightResult:
@@ -422,6 +428,339 @@ class PreflightInterpreter:
                             prevw=prevw)
                 del hs[:4 * num_words]
                 pc, ts = pc + 4, ts + 2 + num_words
+
+            elif ((BaseAlu256Opcode.ADD <= op <= LessThan256Opcode.SLTU)
+                  or op == Mul256Opcode.MUL
+                  or (BranchEqual256Opcode.BEQ <= op
+                      <= BranchLessThan256Opcode.BGEU)):
+                is_branch = (BranchEqual256Opcode.BEQ <= op
+                             <= BranchLessThan256Opcode.BGEU)
+
+                def ptr_of(limbs):
+                    p = _from_limbs(limbs)
+                    if p % 4 != 0 or p >= (1 << 29):
+                        raise ExecutionError(
+                            f"bad int256 pointer {p:#x} at pc {pc:#x}")
+                    return p // 4
+
+                def read_block(wa, tick0):
+                    limbs, pts = [], []
+                    for k in range(8):
+                        data, p2_ = mem.read(2, wa + k, ts + tick0 + k)
+                        limbs.extend(data)
+                        pts.append(p2_)
+                    return limbs, pts
+
+                if is_branch:
+                    rs1p, p1 = reg_read(a // 4, 0)
+                    rs2p, p2 = reg_read(b // 4, 1)
+                    x, pts_x = read_block(ptr_of(rs1p), 2)
+                    y, pts_y = read_block(ptr_of(rs2p), 10)
+                    xi = sum(v_ << (8 * i) for i, v_ in enumerate(x))
+                    yi = sum(v_ << (8 * i) for i, v_ in enumerate(y))
+                    off = c if c <= P // 2 else c - P
+                    if op <= BranchEqual256Opcode.BNE:
+                        chip = "int256_beq"
+                        oi = op - BranchEqual256Opcode.BEQ
+                        taken = (xi == yi) if oi == 0 else (xi != yi)
+                    else:
+                        chip = "int256_blt"
+                        oi = op - BranchLessThan256Opcode.BLT
+                        if oi in (0, 2):  # signed
+                            sxi = xi - (1 << 256) if x[31] >= 128 else xi
+                            syi = yi - (1 << 256) if y[31] >= 128 else yi
+                            lt = sxi < syi
+                        else:
+                            lt = xi < yi
+                        taken = lt if oi in (0, 1) else not lt
+                    to_pc = (pc + off) if taken else pc + 4
+                    _append(recs[chip], pc=pc, ts=ts, op_idx=oi, a=a // 4,
+                            b=b // 4, c=c, rs1p=rs1p, rs2p=rs2p, x=x, y=y,
+                            pts_r1=p1, pts_r2=p2, pts_x=pts_x, pts_y=pts_y,
+                            to_pc=to_pc)
+                    pc, ts = to_pc, ts + 18
+                else:
+                    rs1p, p1 = reg_read(b // 4, 0)
+                    rs2p, p2 = reg_read(c // 4, 1)
+                    rdp, p3 = reg_read(a // 4, 2)
+                    x, pts_x = read_block(ptr_of(rs1p), 3)
+                    y, pts_y = read_block(ptr_of(rs2p), 11)
+                    xi = sum(v_ << (8 * i) for i, v_ in enumerate(x))
+                    yi = sum(v_ << (8 * i) for i, v_ in enumerate(y))
+                    M = (1 << 256) - 1
+                    if op <= BaseAlu256Opcode.AND:
+                        chip = "int256_alu"
+                        oi = op - BaseAlu256Opcode.ADD
+                        zi = [(xi + yi) & M, (xi - yi) & M, xi ^ yi,
+                              xi | yi, xi & yi][oi]
+                    elif op <= Shift256Opcode.SRA:
+                        chip = "int256_shift"
+                        oi = op - Shift256Opcode.SLL
+                        s = y[0]
+                        if oi == 0:
+                            zi = (xi << s) & M
+                        elif oi == 1:
+                            zi = xi >> s
+                        else:
+                            sxi = xi - (1 << 256) if x[31] >= 128 else xi
+                            zi = (sxi >> s) & M
+                    elif op <= LessThan256Opcode.SLTU:
+                        chip = "int256_lt"
+                        oi = op - LessThan256Opcode.SLT
+                        if oi == 0:
+                            sxi = xi - (1 << 256) if x[31] >= 128 else xi
+                            syi = yi - (1 << 256) if y[31] >= 128 else yi
+                            zi = int(sxi < syi)
+                        else:
+                            zi = int(xi < yi)
+                    else:
+                        chip = "int256_mul"
+                        oi = 0
+                        zi = (xi * yi) & M
+                    z = [(zi >> (8 * i)) & 255 for i in range(32)]
+                    wad = ptr_of(rdp)
+                    prevz, pts_z = [], []
+                    for k in range(8):
+                        pw_, pzk = mem.write(2, wad + k, z[4 * k:4 * k + 4],
+                                             ts + 19 + k)
+                        prevz.extend(pw_)
+                        pts_z.append(pzk)
+                    _append(recs[chip], pc=pc, ts=ts, op_idx=oi, a=a // 4,
+                            b=b // 4, c=c // 4, rs1p=rs1p, rs2p=rs2p,
+                            rdp=rdp, x=x, y=y, z=z, prevz=prevz,
+                            pts_r1=p1, pts_r2=p2, pts_rd=p3, pts_x=pts_x,
+                            pts_y=pts_y, pts_z=pts_z)
+                    pc, ts = pc + 4, ts + 27
+
+            elif 0x500 <= op < 0x500 + 8 * max(len(self.moduli), 1) \
+                    and self.moduli:
+                from .circuit.modular import (ADD, DIV, IS_EQ, MOD_KINDS,
+                                              MODULAR_BASE, MUL, SUB)
+                mod_idx = (op - MODULAR_BASE) // MOD_KINDS
+                base = (op - MODULAR_BASE) % MOD_KINDS
+                if mod_idx >= len(self.moduli):
+                    raise ExecutionError(
+                        f"modulus index {mod_idx} not configured")
+                Nmod = self.moduli[mod_idx]
+
+                def ptr_of(limbs):
+                    p_ = _from_limbs(limbs)
+                    if p_ % 4 != 0 or p_ >= (1 << 29):
+                        raise ExecutionError(
+                            f"bad modular pointer {p_:#x} at pc {pc:#x}")
+                    return p_ // 4
+
+                def read_block(wa, tick0):
+                    limbs, pts = [], []
+                    for k in range(8):
+                        data, pk_ = mem.read(2, wa + k, ts + tick0 + k)
+                        limbs.extend(data)
+                        pts.append(pk_)
+                    return limbs, pts
+
+                if base == IS_EQ:
+                    rs1p, p1 = reg_read(b // 4, 0)
+                    rs2p, p2 = reg_read(c // 4, 1)
+                    x, pts_x = read_block(ptr_of(rs1p), 2)
+                    y, pts_y = read_block(ptr_of(rs2p), 10)
+                    xi = sum(v_ << (8 * i) for i, v_ in enumerate(x))
+                    yi = sum(v_ << (8 * i) for i, v_ in enumerate(y))
+                    if xi >= Nmod or yi >= Nmod:
+                        raise ExecutionError("is_eq input not reduced")
+                    res = int(xi == yi)
+                    prevrd, prd = mem.write(1, a // 4, [res, 0, 0, 0],
+                                            ts + 18)
+                    _append(recs[f"modular_iseq_{mod_idx}"], pc=pc, ts=ts,
+                            a=a // 4, b=b // 4, c=c // 4, rs1p=rs1p,
+                            rs2p=rs2p, x=x, y=y, pts_r1=p1, pts_r2=p2,
+                            pts_x=pts_x, pts_y=pts_y, pts_rd=prd,
+                            prevrd=prevrd)
+                    pc, ts = pc + 4, ts + 19
+                elif base in (ADD, SUB, MUL, DIV):
+                    rs1p, p1 = reg_read(b // 4, 0)
+                    rs2p, p2 = reg_read(c // 4, 1)
+                    rdp, p3 = reg_read(a // 4, 2)
+                    x, pts_x = read_block(ptr_of(rs1p), 3)
+                    y, pts_y = read_block(ptr_of(rs2p), 11)
+                    xi = sum(v_ << (8 * i) for i, v_ in enumerate(x))
+                    yi = sum(v_ << (8 * i) for i, v_ in enumerate(y))
+                    if base == ADD:
+                        chip, oi = f"modular_addsub_{mod_idx}", 0
+                        zi = (xi + yi) % Nmod
+                    elif base == SUB:
+                        chip, oi = f"modular_addsub_{mod_idx}", 1
+                        zi = (xi - yi) % Nmod
+                    elif base == MUL:
+                        chip, oi = f"modular_muldiv_{mod_idx}", 0
+                        zi = (xi * yi) % Nmod
+                    else:
+                        chip, oi = f"modular_muldiv_{mod_idx}", 1
+                        if yi % Nmod == 0:
+                            raise ExecutionError("modular division by zero")
+                        zi = (xi * pow(yi, -1, Nmod)) % Nmod
+                    z = [(zi >> (8 * i)) & 255 for i in range(32)]
+                    wad = ptr_of(rdp)
+                    prevz, pts_z = [], []
+                    for k in range(8):
+                        pw_, pzk = mem.write(2, wad + k, z[4 * k:4 * k + 4],
+                                             ts + 19 + k)
+                        prevz.extend(pw_)
+                        pts_z.append(pzk)
+                    _append(recs[chip], pc=pc, ts=ts, op_idx=oi, a=a // 4,
+                            b=b // 4, c=c // 4, rs1p=rs1p, rs2p=rs2p,
+                            rdp=rdp, x=x, y=y, z=z, prevz=prevz,
+                            pts_r1=p1, pts_r2=p2, pts_rd=p3, pts_x=pts_x,
+                            pts_y=pts_y, pts_z=pts_z)
+                    pc, ts = pc + 4, ts + 27
+                else:
+                    raise ExecutionError(
+                        f"modular opcode base {base} unsupported")
+
+            elif 0x600 <= op < 0x600 + 4 * len(self.curves):
+                from .circuit.ecc import (EC_ADD_NE, EC_DOUBLE, SW_BASE,
+                                          SW_KINDS, _lambda_add,
+                                          _lambda_double)
+                curve_idx = (op - SW_BASE) // SW_KINDS
+                base = (op - SW_BASE) % SW_KINDS
+                pmod, acoef = self.curves[curve_idx]
+
+                def ptr_of(limbs):
+                    p_ = _from_limbs(limbs)
+                    if p_ % 4 != 0 or p_ >= (1 << 29):
+                        raise ExecutionError(
+                            f"bad ec pointer {p_:#x} at pc {pc:#x}")
+                    return p_ // 4
+
+                def read_point(wa, tick0):
+                    limbs, pts = [], []
+                    for k in range(16):
+                        data, pk_ = mem.read(2, wa + k, ts + tick0 + k)
+                        limbs.extend(data)
+                        pts.append(pk_)
+                    return limbs, pts
+
+                def to_int(limbs):
+                    return sum(v_ << (8 * i) for i, v_ in enumerate(limbs))
+
+                if base == EC_ADD_NE:
+                    rs1p, p1 = reg_read(b // 4, 0)
+                    rs2p, p2 = reg_read(c // 4, 1)
+                    rdp, p3 = reg_read(a // 4, 2)
+                    xb, pts_x = read_point(ptr_of(rs1p), 3)
+                    yb, pts_y = read_point(ptr_of(rs2p), 19)
+                    x1, y1 = to_int(xb[:32]), to_int(xb[32:])
+                    x2, y2 = to_int(yb[:32]), to_int(yb[32:])
+                    if (x1 - x2) % pmod == 0:
+                        raise ExecutionError("EC_ADD_NE with equal x")
+                    lam = _lambda_add(pmod, x1, y1, x2, y2)
+                    x3 = (lam * lam - x1 - x2) % pmod
+                    y3 = (lam * (x1 - x3) - y1) % pmod
+                    z = [(x3 >> (8 * i)) & 255 for i in range(32)] + \
+                        [(y3 >> (8 * i)) & 255 for i in range(32)]
+                    wad = ptr_of(rdp)
+                    prevz, pts_z = [], []
+                    for k in range(16):
+                        pw_, pzk = mem.write(2, wad + k, z[4 * k:4 * k + 4],
+                                             ts + 35 + k)
+                        prevz.extend(pw_)
+                        pts_z.append(pzk)
+                    _append(recs[f"sw_add_ne_{curve_idx}"], pc=pc, ts=ts,
+                            a=a // 4, b=b // 4, c=c // 4, rs1p=rs1p,
+                            rs2p=rs2p, rdp=rdp, x=xb, y=yb, z=z,
+                            prevz=prevz, pts_r1=p1, pts_r2=p2, pts_rd=p3,
+                            pts_x=pts_x, pts_y=pts_y, pts_z=pts_z)
+                    pc, ts = pc + 4, ts + 51
+                elif base == EC_DOUBLE:
+                    rs1p, p1 = reg_read(b // 4, 0)
+                    rdp, p3 = reg_read(a // 4, 1)
+                    xb, pts_x = read_point(ptr_of(rs1p), 2)
+                    x1, y1 = to_int(xb[:32]), to_int(xb[32:])
+                    if y1 % pmod == 0:
+                        raise ExecutionError("EC_DOUBLE of 2-torsion point")
+                    lam = _lambda_double(pmod, acoef, x1, y1)
+                    x3 = (lam * lam - 2 * x1) % pmod
+                    y3 = (lam * (x1 - x3) - y1) % pmod
+                    z = [(x3 >> (8 * i)) & 255 for i in range(32)] + \
+                        [(y3 >> (8 * i)) & 255 for i in range(32)]
+                    wad = ptr_of(rdp)
+                    prevz, pts_z = [], []
+                    for k in range(16):
+                        pw_, pzk = mem.write(2, wad + k, z[4 * k:4 * k + 4],
+                                             ts + 18 + k)
+                        prevz.extend(pw_)
+                        pts_z.append(pzk)
+                    _append(recs[f"sw_double_{curve_idx}"], pc=pc, ts=ts,
+                            a=a // 4, b=b // 4, rs1p=rs1p, rdp=rdp, x=xb,
+                            z=z, prevz=prevz, pts_r1=p1, pts_rd=p3,
+                            pts_x=pts_x, pts_z=pts_z)
+                    pc, ts = pc + 4, ts + 34
+                else:
+                    raise ExecutionError(f"ec opcode base {base} is setup")
+
+            elif 0x710 <= op < 0x710 + 6 * len(self.fp2):
+                from .circuit.fp2 import (ADD as F2ADD, DIV as F2DIV,
+                                          FP2_BASE, FP2_KINDS, MUL as F2MUL,
+                                          SUB as F2SUB, fp2_div, fp2_mul)
+                fp2_idx = (op - FP2_BASE) // FP2_KINDS
+                base = (op - FP2_BASE) % FP2_KINDS
+                pmod = self.fp2[fp2_idx]
+
+                def ptr_of(limbs):
+                    p_ = _from_limbs(limbs)
+                    if p_ % 4 != 0 or p_ >= (1 << 29):
+                        raise ExecutionError(
+                            f"bad fp2 pointer {p_:#x} at pc {pc:#x}")
+                    return p_ // 4
+
+                def read_pair(wa, tick0):
+                    limbs, pts = [], []
+                    for k in range(16):
+                        data, pk_ = mem.read(2, wa + k, ts + tick0 + k)
+                        limbs.extend(data)
+                        pts.append(pk_)
+                    return limbs, pts
+
+                def to_int(limbs):
+                    return sum(v_ << (8 * i) for i, v_ in enumerate(limbs))
+
+                if base not in (F2ADD, F2SUB, F2MUL, F2DIV):
+                    raise ExecutionError(f"fp2 opcode base {base} is setup")
+                rs1p, p1 = reg_read(b // 4, 0)
+                rs2p, p2 = reg_read(c // 4, 1)
+                rdp, p3 = reg_read(a // 4, 2)
+                xb, pts_x = read_pair(ptr_of(rs1p), 3)
+                yb, pts_y = read_pair(ptr_of(rs2p), 19)
+                a0, a1 = to_int(xb[:32]) % pmod, to_int(xb[32:]) % pmod
+                b0, b1 = to_int(yb[:32]) % pmod, to_int(yb[32:]) % pmod
+                if base == F2ADD:
+                    chip, oi = f"fp2_addsub_{fp2_idx}", 0
+                    z0, z1 = (a0 + b0) % pmod, (a1 + b1) % pmod
+                elif base == F2SUB:
+                    chip, oi = f"fp2_addsub_{fp2_idx}", 1
+                    z0, z1 = (a0 - b0) % pmod, (a1 - b1) % pmod
+                elif base == F2MUL:
+                    chip, oi = f"fp2_muldiv_{fp2_idx}", 0
+                    z0, z1 = fp2_mul(pmod, a0, a1, b0, b1)
+                else:
+                    chip, oi = f"fp2_muldiv_{fp2_idx}", 1
+                    try:
+                        z0, z1 = fp2_div(pmod, a0, a1, b0, b1)
+                    except ZeroDivisionError:
+                        raise ExecutionError("fp2 division by zero")
+                z = [(z0 >> (8 * i)) & 255 for i in range(32)] + \
+                    [(z1 >> (8 * i)) & 255 for i in range(32)]
+                wad = ptr_of(rdp)
+                prevz, pts_z = [], []
+                for k in range(16):
+                    pw_, pzk = mem.write(2, wad + k, z[4 * k:4 * k + 4],
+                                         ts + 35 + k)
+                    prevz.extend(pw_)
+                    pts_z.append(pzk)
+                _append(recs[chip], pc=pc, ts=ts, op_idx=oi, a=a // 4,
+                        b=b // 4, c=c // 4, rs1p=rs1p, rs2p=rs2p, rdp=rdp,
+                        x=xb, y=yb, z=z, prevz=prevz, pts_r1=p1, pts_r2=p2,
+                        pts_rd=p3, pts_x=pts_x, pts_y=pts_y, pts_z=pts_z)
+                pc, ts = pc + 4, ts + 51
 
             elif op == SystemOpcode.PHANTOM:
                 r = recs["phantom"]

@@ -12,13 +12,16 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from .elf import Elf, memory_image_to_init_memory
-from .instructions import (BaseAluOpcode, BranchEqualOpcode,
+from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
+                           BranchEqual256Opcode, BranchEqualOpcode,
                            BranchLessThanOpcode, DivRemOpcode, Instruction,
-                           LessThanOpcode, MulHOpcode, MulOpcode, P, Program,
+                           LessThan256Opcode, LessThanOpcode, Mul256Opcode,
+                           MulHOpcode, MulOpcode, P, Program,
                            Rv32AuipcOpcode, Rv32HintStoreOpcode,
                            Rv32JalLuiOpcode, Rv32JalrOpcode,
-                           Rv32LoadStoreOpcode, Rv32Phantom, ShiftOpcode,
-                           SystemOpcode, VmExe, nop, phantom, unimp)
+                           Rv32LoadStoreOpcode, Rv32Phantom, Shift256Opcode,
+                           ShiftOpcode, SystemOpcode, VmExe, nop, phantom,
+                           unimp)
 
 # RISC-V base opcodes
 OP_LUI = 0b0110111
@@ -297,6 +300,143 @@ class Rv32IoTranspilerExtension:
         return None
 
 
+INT256_FUNCT3 = 0b101
+BEQ256_FUNCT3 = 0b110
+
+# funct7 -> global opcode (reference Int256Funct7,
+# extensions/bigint/guest/src/lib.rs:13 + transpiler/src/lib.rs:98-140)
+_INT256_FUNCT7 = {
+    0: BaseAlu256Opcode.ADD, 1: BaseAlu256Opcode.SUB,
+    2: BaseAlu256Opcode.XOR, 3: BaseAlu256Opcode.OR,
+    4: BaseAlu256Opcode.AND, 5: Shift256Opcode.SLL,
+    6: Shift256Opcode.SRL, 7: Shift256Opcode.SRA,
+    8: LessThan256Opcode.SLT, 9: LessThan256Opcode.SLTU,
+    10: Mul256Opcode.MUL,
+}
+
+
+class Int256TranspilerExtension:
+    """256-bit integer intrinsics (reference Int256TranspilerExtension)."""
+
+    def process_custom(self, stream):
+        if not stream:
+            return None
+        w = stream[0]
+        if (w & 0x7F) != OP_CUSTOM0:
+            return None
+        d = decode(w)
+        if d.funct3 == INT256_FUNCT3:
+            op = _INT256_FUNCT7.get(d.funct7)
+            if op is None:
+                return None
+            return one(Instruction(op, a=4 * d.rd, b=4 * d.rs1,
+                                   c=4 * d.rs2, d=1, e=2))
+        if d.funct3 == BEQ256_FUNCT3:
+            return one(Instruction(BranchEqual256Opcode.BEQ, a=4 * d.rs1,
+                                   b=4 * d.rs2, c=d.imm_b % P, d=1, e=2))
+        return None
+
+
+OP_CUSTOM1 = 0x2B
+MODULAR_ARITHMETIC_FUNCT3 = 0b000
+
+# base funct7 (mod 8) -> local opcode offset within the modulus block
+# (reference ModArithBaseFunct7 {AddMod, SubMod, MulMod, DivMod, IsEqMod,
+# SetupMod, HintNonQr, HintSqrt} -> Rv32ModularArithmeticOpcode order,
+# extensions/algebra/transpiler/src/lib.rs:131-154)
+_MOD_BASE_TO_LOCAL = {0: 0, 1: 1, 2: 3, 3: 4, 4: 6}
+_MOD_SETUP = 5
+
+
+class ModularTranspilerExtension:
+    """Modular-arithmetic intrinsics on custom-1 (reference
+    ModularTranspilerExtension).  SETUP_* lowers to a no-op: the modulus
+    is a keygen-time constant in this framework, so runtime setup rows
+    carry no information the verifying key doesn't already pin."""
+
+    def process_custom(self, stream):
+        if not stream:
+            return None
+        w = stream[0]
+        if (w & 0x7F) != OP_CUSTOM1:
+            return None
+        d = decode(w)
+        if d.funct3 != MODULAR_ARITHMETIC_FUNCT3:
+            return None
+        base = d.funct7 % 8
+        mod_idx = d.funct7 // 8
+        if base in (_MOD_SETUP, 6, 7):  # setup / hint_non_qr / hint_sqrt
+            return one(nop())
+        local = _MOD_BASE_TO_LOCAL.get(base)
+        if local is None:
+            return None
+        if d.rd == 0 and base != 4:
+            return one(nop())
+        return one(Instruction(0x500 + mod_idx * 8 + local, a=4 * d.rd,
+                               b=4 * d.rs1, c=4 * d.rs2, d=1, e=2))
+
+
+SW_FUNCT3 = 0b001
+COMPLEX_EXT_FIELD_FUNCT3 = 0b010
+
+# Fp2 base funct7 -> local opcode offset (reference
+# ComplexExtFieldBaseFunct7 {Add, Sub, Mul, Div, Setup} -> Fp2Opcode order)
+_FP2_BASE_TO_LOCAL = {0: 0, 1: 1, 2: 3, 3: 4}
+
+
+class Fp2TranspilerExtension:
+    """Complex-extension-field intrinsics on custom-1 funct3=010
+    (reference Fp2TranspilerExtension)."""
+
+    def process_custom(self, stream):
+        if not stream:
+            return None
+        w = stream[0]
+        if (w & 0x7F) != OP_CUSTOM1:
+            return None
+        d = decode(w)
+        if d.funct3 != COMPLEX_EXT_FIELD_FUNCT3:
+            return None
+        base = d.funct7 % 8
+        fp2_idx = d.funct7 // 8
+        if base == 4:  # setup -> nop
+            return one(nop())
+        local = _FP2_BASE_TO_LOCAL.get(base)
+        if local is None:
+            return None
+        if d.rd == 0:
+            return one(nop())
+        return one(Instruction(0x710 + fp2_idx * 6 + local, a=4 * d.rd,
+                               b=4 * d.rs1, c=4 * d.rs2, d=1, e=2))
+
+
+class EccTranspilerExtension:
+    """Short-Weierstrass intrinsics on custom-1 funct3=001 (reference
+    EccTranspilerExtension, extensions/ecc/transpiler/src/lib.rs:14-80).
+    funct7 = curve_idx*8 + {SwAddNe=0, SwDouble=1, SwSetup=2}."""
+
+    def process_custom(self, stream):
+        if not stream:
+            return None
+        w = stream[0]
+        if (w & 0x7F) != OP_CUSTOM1:
+            return None
+        d = decode(w)
+        if d.funct3 != SW_FUNCT3:
+            return None
+        base = d.funct7 % 8
+        curve_idx = d.funct7 // 8
+        if base == 0:  # EC_ADD_NE
+            return one(Instruction(0x600 + curve_idx * 4, a=4 * d.rd,
+                                   b=4 * d.rs1, c=4 * d.rs2, d=1, e=2))
+        if base == 1:  # EC_DOUBLE (rs2 unused)
+            return one(Instruction(0x600 + curve_idx * 4 + 2, a=4 * d.rd,
+                                   b=4 * d.rs1, c=0, d=1, e=2))
+        if base == 2:  # setup -> no-op (curve constants live in the vk)
+            return one(nop())
+        return None
+
+
 @dataclass
 class TranspilerOutput:
     instructions: list
@@ -316,7 +456,11 @@ class Transpiler:
     def __init__(self, extensions=None):
         self.extensions = extensions or [Rv32ITranspilerExtension(),
                                          Rv32MTranspilerExtension(),
-                                         Rv32IoTranspilerExtension()]
+                                         Rv32IoTranspilerExtension(),
+                                         Int256TranspilerExtension(),
+                                         ModularTranspilerExtension(),
+                                         EccTranspilerExtension(),
+                                         Fp2TranspilerExtension()]
 
     def transpile(self, words: list) -> list:
         out: list = []
