@@ -49,6 +49,17 @@ def cmd_run(args):
 
 def _sdk_for(args):
     from .sdk import Sdk
+    if getattr(args, "config", None):
+        from .vm_config import load_vm_config
+        try:
+            cfg = load_vm_config(args.config)
+        except FileNotFoundError:
+            sys.exit(f"error: config file not found: {args.config}")
+        except (ValueError, KeyError) as ex:
+            sys.exit(f"error: bad config {args.config}: {ex}")
+        if getattr(args, "bigint", False):
+            cfg.bigint = True
+        return Sdk(cfg)
     if getattr(args, "bigint", False):
         from .vm.machine import Rv32Config
         return Sdk(Rv32Config(bigint=True))
@@ -90,6 +101,7 @@ def main(argv=None):
     pr.add_argument("elf")
     pr.add_argument("--input", action="append",
                     help="hex-encoded input stream item")
+    pr.add_argument("--config", help="openvm.toml VM config")
     pr.set_defaults(fn=cmd_run)
 
     pp = sub.add_parser("prove", help="prove a guest ELF")
@@ -99,6 +111,7 @@ def main(argv=None):
     pp.add_argument("--max-insns", type=int, default=None)
     pp.add_argument("--bigint", action="store_true",
                     help="enable the Int256 extension chips")
+    pp.add_argument("--config", help="openvm.toml VM config")
     pp.set_defaults(fn=cmd_prove)
 
     pv = sub.add_parser("verify", help="verify a proof")
@@ -106,6 +119,7 @@ def main(argv=None):
     pv.add_argument("proof")
     pv.add_argument("--bigint", action="store_true",
                     help="enable the Int256 extension chips")
+    pv.add_argument("--config", help="openvm.toml VM config")
     pv.set_defaults(fn=cmd_verify)
 
     args = p.parse_args(argv)

@@ -145,11 +145,20 @@ class VirtualMachine:
         height accounting for the single-segment case (multi-segment
         continuations are the next milestone).
         """
-        import ctypes
-
-        from .native import (PREFLIGHT_LAYOUTS, load_preflight_library,
-                             native_preflight)
-        pre = native_preflight(exe, inputs, max_insns)
+        pre = None
+        try:
+            from .native import native_preflight
+            pre = native_preflight(exe, inputs, max_insns)
+        except (OSError, ImportError):
+            pre = None
+        except Exception as ex:
+            if "unsupported opcode" not in str(ex):
+                raise
+        if pre is None:  # no toolchain / extension opcodes: python fallback
+            pre = PreflightInterpreter(
+                exe, self.config.num_pv_words, moduli=self.config.moduli,
+                curves=self.config.curves,
+                fp2=self.config.fp2).execute(inputs, max_insns)
         heights = {}
         for air in self.airs[self.NUM_SYSTEM_AIRS:]:
             rec = pre.records.get(air.name)
