@@ -16,3 +16,19 @@ Layer map (mirrors reference SURVEY.md section 1):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: prover/keygen graphs for a given VM
+# config + trace-height profile compile once per machine, not once per
+# process (the reference's analog is cargo's build cache for its kernels).
+# Opt out with OPENVM_TPU_NO_CACHE=1.
+import os as _os
+
+if not _os.environ.get("OPENVM_TPU_NO_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "OPENVM_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "openvm_tpu_xla"))
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,657 @@
+"""StarkVerifier as a generated native-VM program.
+
+TPU-native counterpart of the reference recursive verifier
+(reference extensions/native/recursion/src/stark/mod.rs StarkVerifier::verify
++ fri/two_adic_pcs.rs + fri/mod.rs verify_query + the challenger port).
+Where the reference compiles one dynamic program through its eDSL, this
+generator emits a straight-line native program **specialized to a proof
+shape** (vk + per-AIR log_degrees): every loop bound, matrix width and
+Merkle depth is static, so the challenger schedule compiles away
+(`ProgramChallenger`) and the constraint DAG is lowered node-by-node to
+FieldExtension instructions.
+
+The host serializer `serialize_proof_felts` and the program reader consume
+the proof in the same literal order; `openvm_tpu/stark/verifier.py` is the
+semantic spec (the generated program mirrors it check for check).
+
+Program public values (VmVerifierPvs role, reference
+crates/continuations/src/verifier/common/types.rs):
+  pv[0..8]  = app program commitment (cached main commit 0)
+  pv[8..12] = app connector public values [init_pc, final_pc, exit, is_term]
+  pv[12..28] = app memory-merkle public values (persistent shapes only)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import babybear as bb
+from .builder import Builder, Ext, Felt, FeltArray
+from .challenger import ProgramChallenger, bits_to_index
+
+P = bb.P
+MAX_TWO_ADICITY = 27
+
+
+# ---------------------------------------------------------------------------
+# Host-side proof serialization (must match the program's read order)
+# ---------------------------------------------------------------------------
+
+
+def serialize_proof_felts(vk, proof) -> list:
+    """Proof -> list of felt vectors (the VM input stream).
+
+    One vector per program-side `read_vec` call, in identical order — the
+    reference's Hintable::write role (recursion/src/hints.rs)."""
+    out: list[list[int]] = []
+
+    def put(vals):
+        out.append([int(v) % P
+                    for v in np.asarray(vals, dtype=object).reshape(-1)])
+
+    per_air = proof.per_air
+    vks = [vk.per_air[p.air_id] for p in per_air]
+    for p, avk in zip(per_air, vks):
+        if avk.num_public_values:
+            put(p.public_values)
+    if vk.num_phases:
+        for p, avk in zip(per_air, vks):
+            if avk.num_exposed:
+                for v in p.exposed_values_after_challenge[0]:
+                    put(v)
+    for commit in proof.commitments.main_trace:
+        put(commit)
+    put([proof.log_up_pow_witness])
+    if vk.num_phases:
+        put(proof.commitments.after_challenge[0])
+    put(proof.commitments.quotient)
+
+    vals = proof.opening.values
+    for ao in vals.preprocessed:
+        put(ao.local), put(ao.next)
+    for mats in vals.main:
+        for ao in mats:
+            put(ao.local), put(ao.next)
+    for phase in vals.after_challenge:
+        for ao in phase:
+            put(ao.local), put(ao.next)
+    for chunks in vals.quotient:
+        for chunk in chunks:
+            put([c for v in chunk for c in v])
+
+    fp = proof.opening.proof
+    for commit in fp.commit_phase_commits:
+        put(commit)
+    put(fp.final_poly[0])
+    put([fp.pow_witness])
+    for qp in fp.query_proofs:
+        for batch in qp.input_proof:
+            for row in batch.opened_values:
+                put(row)
+            for sib in batch.opening_proof:
+                put(sib)
+        for step in qp.commit_phase_openings:
+            put(step.sibling_value)
+            for sib in step.opening_proof:
+                put(sib)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# In-program helpers
+# ---------------------------------------------------------------------------
+
+
+class _Sponge:
+    """hash_row_concat / compress exactly as merkle.verify_batch."""
+
+    def __init__(self, b: Builder):
+        self.b = b
+        self.state = b.array(16)
+
+    def hash_felts(self, felts: list) -> FeltArray:
+        """Absorb a flat list of Felt handles (overwrite-rate sponge),
+        return the 8-cell digest (a copy)."""
+        b = self.b
+        for i in range(16):
+            b.mov(0, self.state.felt(i))
+        for c0 in range(0, len(felts), 8):
+            chunk = felts[c0:c0 + 8]
+            for i, f in enumerate(chunk):
+                b.mov(f, self.state.felt(i))
+            b.permute(self.state, self.state)
+        dig = b.array(8)
+        for i in range(8):
+            b.mov(self.state.felt(i), dig.felt(i))
+        return dig
+
+    def compress_ordered(self, bit: Felt, cur: FeltArray, sib: FeltArray,
+                         dst: FeltArray | None = None) -> FeltArray:
+        """dst = bit ? compress(sib, cur) : compress(cur, sib)."""
+        b = self.b
+        d = dst or b.array(8)
+        swap, end = b.label(), b.label()
+        b.branch_ne(bit, 0, swap)
+        b.compress(cur, sib, d)
+        b.jump(end)
+        b.place(swap)
+        b.compress(sib, cur, d)
+        b.place(end)
+        return d
+
+
+def _ext_cells(b: Builder, arr: FeltArray, j: int) -> Ext:
+    """View 4 cells of a hinted array as an Ext."""
+    return Ext(arr.addr + 4 * j)
+
+
+class ProgramOps:
+    """SymbolicDag eval backend emitting FieldExtension instructions."""
+
+    def __init__(self, b: Builder):
+        self.b = b
+        self._consts: dict = {}
+
+    def const(self, v: int):
+        v = int(v) % P
+        if v not in self._consts:
+            self._consts[v] = self.b.econst((v, 0, 0, 0))
+        return self._consts[v]
+
+    def var(self, env, entry, part, offset, index):
+        if entry == "main":
+            return env["main"][part][offset][index]
+        if entry == "preprocessed":
+            return env["preprocessed"][offset][index]
+        if entry == "permutation":
+            return env["perm"][offset][index]
+        if entry == "public":
+            return env["publics"][index]
+        if entry == "challenge":
+            return env["challenges"][index]
+        if entry == "exposed":
+            return env["exposed"][index]
+        raise KeyError(entry)
+
+    def sel(self, env, which):
+        return env["sels"][which]
+
+    def add(self, a, b_):
+        return self.b.eadd(a, b_)
+
+    def sub(self, a, b_):
+        return self.b.esub(a, b_)
+
+    def mul(self, a, b_):
+        return self.b.emul(a, b_)
+
+    def neg(self, a):
+        return self.b.esub(self.const(0), a)
+
+
+def _epow(b: Builder, x: Ext, e: int) -> Ext:
+    """x^e by square-and-multiply (static exponent)."""
+    assert e >= 1
+    if e == 1:
+        return x
+    h = _epow(b, x, e // 2)
+    sq = b.emul(h, h)
+    return b.emul(sq, x) if e % 2 else sq
+
+
+def _promote(b: Builder, f) -> Ext:
+    """Felt|int -> Ext (f, 0, 0, 0)."""
+    e = b.ext()
+    b.mov(f, Felt(e.addr))
+    for i in (1, 2, 3):
+        b.mov(0, Felt(e.addr + i))
+    return e
+
+
+# ---------------------------------------------------------------------------
+# The generator
+# ---------------------------------------------------------------------------
+
+
+def build_verifier_program(vk, log_degrees: list, num_native_pvs: int = 32,
+                           expose: str = "vm",
+                           expose_memory_pvs: bool = False):
+    """Generate the native program verifying proofs of the given shape.
+
+    Returns (exe, meta).  `machine.prove` the exe on a NativeConfig VM with
+    inputs=serialize_proof_felts(vk, proof).
+
+    expose: "vm" exposes the app program commit + connector (+ merkle) pvs
+    (leaf-verifier shape); "commit" exposes only the common-main commit
+    (generic proofs without VM system AIRs, e.g. recursion unit tests).
+    """
+    cfg = vk.config
+    lb = cfg.fri.log_blowup
+    per_vk = vk.per_air
+    n_airs = len(per_vk)
+    assert len(log_degrees) == n_airs
+    log_max = max(log_degrees)
+    log_max_lde = log_max + lb
+
+    # static shape checks (mirror verifier.verify's perm/height checks)
+    order = sorted(range(n_airs), key=lambda i: -log_degrees[i])
+    assert log_degrees[order[0]] <= MAX_TWO_ADICITY - lb
+    for c in vk.trace_height_constraints:
+        total = sum(int(c.coefficients[i]) * (1 << log_degrees[i])
+                    for i in range(n_airs))
+        assert total < c.threshold, "trace height constraint violated"
+
+    b = Builder()
+    ch = ProgramChallenger(b)
+    sponge = _Sponge(b)
+
+    # ---- read proof fields in serialize order -------------------------
+    pvs = [b.read_vec(avk.num_public_values) if avk.num_public_values
+           else FeltArray(0, 0) for avk in per_vk]
+    exposed = [b.read_vec(4) if (vk.num_phases and avk.num_exposed)
+               else None for avk in per_vk]
+    num_cached = sum(len(avk.widths.cached_mains) for avk in per_vk)
+    main_commits = [b.read_vec(8) for _ in range(num_cached + 1)]
+    logup_pow = b.read_vec(1)
+    ac_commit = b.read_vec(8) if vk.num_phases else None
+    q_commit = b.read_vec(8)
+
+    prep_vals = []  # (local FeltArray, next FeltArray) per air-with-prep
+    for avk in per_vk:
+        if avk.preprocessed_commit is not None:
+            w = avk.widths.preprocessed
+            prep_vals.append((b.read_vec(4 * w), b.read_vec(4 * w)))
+    main_vals = []  # per main commit: [(local, next)] per mat
+    for avk in per_vk:
+        for w in avk.widths.cached_mains:
+            main_vals.append([(b.read_vec(4 * w), b.read_vec(4 * w))])
+    common_list = []
+    for avk in per_vk:
+        w = avk.widths.common_main
+        if w:
+            common_list.append((b.read_vec(4 * w), b.read_vec(4 * w)))
+    main_vals.append(common_list)
+    ac_vals = []
+    if vk.num_phases:
+        for avk in per_vk:
+            if avk.widths.after_challenge:
+                w4 = 4 * avk.widths.after_challenge
+                ac_vals.append((b.read_vec(4 * w4), b.read_vec(4 * w4)))
+    q_vals = []  # per air: [chunk FeltArray(16)] per chunk
+    for avk in per_vk:
+        q_vals.append([b.read_vec(16)
+                       for _ in range(avk.quotient_degree)])
+
+    num_fri_commits = log_max_lde - lb
+    fri_commits = [b.read_vec(8) for _ in range(num_fri_commits)]
+    final_poly = b.read_vec(4)
+    fri_pow = b.read_vec(1)
+
+    # ---- transcript preamble ------------------------------------------
+    for v in np.asarray(vk.pre_hash).reshape(-1):
+        ch.observe(int(v))
+    ch.observe(n_airs)
+    for i in range(n_airs):
+        ch.observe(i)
+
+    # cumulative sums vanish
+    if vk.num_phases:
+        total = b.econst((0, 0, 0, 0))
+        for e in exposed:
+            if e is not None:
+                total = b.eadd(total, Ext(e.addr))
+        for i in range(4):
+            b.assert_eq(total.felt(i), 0)
+
+    for arr in pvs:
+        ch.observe_arr(arr)
+    for avk in per_vk:
+        if avk.preprocessed_commit is not None:
+            for v in np.asarray(avk.preprocessed_commit).reshape(-1):
+                ch.observe(int(v))
+    for commit in main_commits:
+        ch.observe_arr(commit)
+    for ld in log_degrees:
+        ch.observe(ld)
+
+    challenges = []
+    if vk.num_phases:
+        ch.check_witness(cfg.log_up_pow_bits, logup_pow.felt(0))
+        challenges = [ch.sample_ext(), ch.sample_ext()]
+        for e in exposed:
+            if e is not None:
+                ch.observe_arr(e)
+        ch.observe_arr(ac_commit)
+
+    alpha = ch.sample_ext()
+    ch.observe_arr(q_commit)
+    zeta = ch.sample_ext()
+
+    # ---- rounds (commit, mats=[(log_lde, w, pts, values)]) -------------
+    # pts: list of Ext points; values: list of FeltArray (4w) per point
+    g_pows = {}
+
+    def zeta_next(i):
+        if i not in g_pows:
+            g = bb.two_adic_generator_int(log_degrees[i])
+            g_pows[i] = b.emul_felt(zeta, g)
+        return g_pows[i]
+
+    rounds = []
+    pi = 0
+    for i, avk in enumerate(per_vk):
+        if avk.preprocessed_commit is not None:
+            loc, nxt = prep_vals[pi]
+            pi += 1
+            commit_arr = b.array(8)
+            for k, v in enumerate(np.asarray(avk.preprocessed_commit)
+                                  .reshape(-1)):
+                b.mov(int(v), commit_arr.felt(k))
+            rounds.append((commit_arr,
+                           [(log_degrees[i] + lb, avk.widths.preprocessed,
+                             [zeta, zeta_next(i)], [loc, nxt])]))
+    ci = 0
+    for i, avk in enumerate(per_vk):
+        for w in avk.widths.cached_mains:
+            loc, nxt = main_vals[ci][0]
+            rounds.append((main_commits[ci],
+                           [(log_degrees[i] + lb, w,
+                             [zeta, zeta_next(i)], [loc, nxt])]))
+            ci += 1
+    common_mats = []
+    cmi = 0
+    for i, avk in enumerate(per_vk):
+        if avk.widths.common_main:
+            loc, nxt = main_vals[num_cached][cmi]
+            cmi += 1
+            common_mats.append((log_degrees[i] + lb, avk.widths.common_main,
+                                [zeta, zeta_next(i)], [loc, nxt]))
+    rounds.append((main_commits[num_cached], common_mats))
+    if vk.num_phases:
+        ac_mats = []
+        aci = 0
+        for i, avk in enumerate(per_vk):
+            if avk.widths.after_challenge:
+                loc, nxt = ac_vals[aci]
+                aci += 1
+                ac_mats.append((log_degrees[i] + lb,
+                                4 * avk.widths.after_challenge,
+                                [zeta, zeta_next(i)], [loc, nxt]))
+        rounds.append((ac_commit, ac_mats))
+    q_mats = []
+    for i, avk in enumerate(per_vk):
+        for chunk in q_vals[i]:
+            q_mats.append((log_degrees[i] + lb, 4, [zeta], [chunk]))
+    rounds.append((q_commit, q_mats))
+
+    # ---- FRI verification ---------------------------------------------
+    # observe all opened values
+    for _, mats in rounds:
+        for (_lh, _w, _pts, values) in mats:
+            for arr in values:
+                ch.observe_arr(arr)
+    fri_alpha = ch.sample_ext()
+    betas = []
+    for commit in fri_commits:
+        ch.observe_arr(commit)
+        betas.append(ch.sample_ext())
+    ch.observe_arr(final_poly)
+    ch.check_witness(cfg.fri.proof_of_work_bits, fri_pow.felt(0))
+
+    # precompute per-mat per-point S_z = sum_t fri_alpha^t * p_t(z), and
+    # the alpha-power ladder (query independent)
+    max_w = max((w for (_, mats) in rounds for (_, w, _, _) in mats),
+                default=0)
+    apows = [b.econst((1, 0, 0, 0))]
+    for _ in range(max_w):
+        apows.append(b.emul(apows[-1], fri_alpha))
+    s_z = {}  # (round_idx, mat_idx, pt_idx) -> Ext
+    for r, (_, mats) in enumerate(rounds):
+        for m, (_lh, w, pts, values) in enumerate(mats):
+            for pz, arr in enumerate(values):
+                acc = b.econst((0, 0, 0, 0))
+                for t in range(w):
+                    acc = b.eadd(acc, b.emul(apows[t],
+                                             _ext_cells(b, arr, t)))
+                s_z[(r, m, pz)] = acc
+
+    two_adic = {}
+
+    def w_pows_desc(lh):
+        """[w^{2^{lh-1}}, ..., w^2, w] canonical ints for bit-rev powering."""
+        if lh not in two_adic:
+            wg = bb.two_adic_generator_int(lh)
+            pows = []
+            for j in range(lh):
+                pows.append(pow(wg, 1 << (lh - 1 - j), P))
+            two_adic[lh] = pows
+        return two_adic[lh]
+
+    for _q in range(cfg.fri.num_queries):
+        index_bits = ch.sample_bits(log_max_lde)  # canonical 31 bits
+        with b.scope():
+            ro = {}
+            alpha_pow = {}
+            for r, (commit, mats) in enumerate(rounds):
+                batch_max = max(lh for (lh, _, _, _) in mats)
+                # per-mat rows
+                rows = [b.read_vec(w) for (_, w, _, _) in mats]
+                n_sibs = batch_max
+                sibs = [b.read_vec(8) for _ in range(n_sibs)]
+                for m, ((lh, w, pts, values), row) in enumerate(
+                        zip(mats, rows)):
+                    # x = GEN * w_lh^{bitrev(row_idx)}; row_idx bits are
+                    # index_bits[log_max_lde-lh .. log_max_lde), and
+                    # bitrev(row_idx) uses them most-significant-first
+                    lo = log_max_lde - lh
+                    x = b.mov(bb.GENERATOR)
+                    for j, wp in enumerate(w_pows_desc(lh)):
+                        bit = index_bits.felt(lo + j)
+                        f = b.select(bit, b.const(wp), b.const(1))
+                        x = b.mul(x, f)
+                    cur_ro = ro.get(lh)
+                    if cur_ro is None:
+                        cur_ro = b.econst((0, 0, 0, 0))
+                        alpha_pow[lh] = b.econst((1, 0, 0, 0))
+                    # R = sum_t fri_alpha^t row[t]  (ext * base felt)
+                    racc = b.econst((0, 0, 0, 0))
+                    for t in range(w):
+                        racc = b.eadd(racc, b.emul_felt(apows[t],
+                                                        row.felt(t)))
+                    x_ext = _promote(b, x)
+                    for pz, z in enumerate(pts):
+                        n_acc = b.esub(s_z[(r, m, pz)], racc)
+                        quot = b.ediv(n_acc, b.esub(z, x_ext))
+                        cur_ro = b.eadd(cur_ro,
+                                        b.emul(alpha_pow[lh], quot))
+                        alpha_pow[lh] = b.emul(alpha_pow[lh], apows[w])
+                    ro[lh] = cur_ro
+                # batch merkle verification
+                by_height: dict = {}
+                for (lh, _w, _p, _v), row in zip(mats, rows):
+                    by_height.setdefault(lh, []).append(row)
+                flat = [r_.felt(t) for r_ in by_height[batch_max]
+                        for t in range(r_.n)]
+                digest = sponge.hash_felts(flat)
+                size = batch_max
+                for lvl, sib in enumerate(sibs):
+                    bit = index_bits.felt((log_max_lde - batch_max) + lvl)
+                    digest = sponge.compress_ordered(bit, digest, sib)
+                    size -= 1
+                    if size in by_height:
+                        flat = [r_.felt(t) for r_ in by_height[size]
+                                for t in range(r_.n)]
+                        b.compress(digest, sponge.hash_felts(flat), digest)
+                b.assert_eq_arr(digest, commit)
+
+            # fri fold phase
+            folded = ro[log_max_lde]
+            for i in range(num_fri_commits):
+                log_folded = log_max_lde - i - 1
+                bit = index_bits.felt(i)
+                sib_val = b.read_vec(4)
+                path = [b.read_vec(8) for _ in range(log_folded)]
+                e0, e1 = b.ext(), b.ext()
+                swap, endl = b.label(), b.label()
+                b.branch_ne(bit, 0, swap)
+                for k in range(4):
+                    b.mov(folded.felt(k), Felt(e0.addr + k))
+                    b.mov(sib_val.felt(k), Felt(e1.addr + k))
+                b.jump(endl)
+                b.place(swap)
+                for k in range(4):
+                    b.mov(sib_val.felt(k), Felt(e0.addr + k))
+                    b.mov(folded.felt(k), Felt(e1.addr + k))
+                b.place(endl)
+                # pair-row commitment check
+                row_flat = [Felt(e0.addr + k) for k in range(4)] + \
+                           [Felt(e1.addr + k) for k in range(4)]
+                digest = sponge.hash_felts(row_flat)
+                for lvl in range(log_folded):
+                    pbit = index_bits.felt(i + 1 + lvl)
+                    digest = sponge.compress_ordered(pbit, digest,
+                                                     path[lvl])
+                b.assert_eq_arr(digest, fri_commits[i])
+                # y0 = w_{2^{log_folded+1}}^{bitrev(idx_level>>1)}
+                y0 = b.mov(1)
+                if log_folded > 0:
+                    for j, wp in enumerate(w_pows_desc(log_folded + 1)[1:]):
+                        pbit = index_bits.felt(i + 1 + j)
+                        f = b.select(pbit, b.const(wp), b.const(1))
+                        y0 = b.mul(y0, f)
+                xs0 = _promote(b, y0)
+                xs1 = _promote(b, b.sub(0, y0))
+                num = b.emul(b.esub(betas[i], xs0), b.esub(e1, e0))
+                folded = b.eadd(e0, b.ediv(num, b.esub(xs1, xs0)))
+                ro_l = ro.get(log_folded)
+                if ro_l is not None:
+                    beta_sq = b.emul(betas[i], betas[i])
+                    folded = b.eadd(folded, b.emul(beta_sq, ro_l))
+            b.assert_eq_arr(FeltArray(folded.addr, 4), final_poly)
+
+    # ---- per-air constraint checks at zeta -----------------------------
+    pi = ci = cmi = aci = 0
+    one_ext = b.econst((1, 0, 0, 0))
+    for i, avk in enumerate(per_vk):
+        with b.scope():
+            ops = ProgramOps(b)
+            log_n = log_degrees[i]
+            n = 1 << log_n
+            g_n = bb.two_adic_generator_int(log_n)
+            z_n = _epow(b, zeta, n)
+            z_h = b.esub(z_n, one_ext)
+            first = b.ediv(z_h, b.esub(zeta, one_ext))
+            g_inv = pow(g_n, -1, P)
+            gi_ext = ops.const(g_inv)
+            last = b.ediv(z_h, b.esub(zeta, gi_ext))
+            trans = b.esub(zeta, gi_ext)
+
+            prep_pair = None
+            if avk.preprocessed_commit is not None:
+                loc, nxt = prep_vals[pi]
+                pi += 1
+                prep_pair = (
+                    [_ext_cells(b, loc, t)
+                     for t in range(avk.widths.preprocessed)],
+                    [_ext_cells(b, nxt, t)
+                     for t in range(avk.widths.preprocessed)])
+            mains = []
+            for w in avk.widths.cached_mains:
+                loc, nxt = main_vals[ci][0]
+                ci += 1
+                mains.append(([_ext_cells(b, loc, t) for t in range(w)],
+                              [_ext_cells(b, nxt, t) for t in range(w)]))
+            if avk.widths.common_main:
+                loc, nxt = main_vals[num_cached][cmi]
+                cmi += 1
+                w = avk.widths.common_main
+                mains.append(([_ext_cells(b, loc, t) for t in range(w)],
+                              [_ext_cells(b, nxt, t) for t in range(w)]))
+            perm_pair = None
+            if avk.widths.after_challenge:
+                loc, nxt = ac_vals[aci]
+                aci += 1
+                wp_ = avk.widths.after_challenge
+
+                def unflatten(arr):
+                    out = []
+                    for j in range(wp_):
+                        acc = b.econst((0, 0, 0, 0))
+                        for c2 in range(4):
+                            mono = ops.const(0)  # placeholder, build below
+                            mono = b.econst(tuple(
+                                1 if t == c2 else 0 for t in range(4)))
+                            acc = b.eadd(acc, b.emul(
+                                mono, _ext_cells(b, arr, 4 * j + c2)))
+                        out.append(acc)
+                    return out
+                perm_pair = (unflatten(loc), unflatten(nxt))
+
+            env = {
+                "main": mains,
+                "preprocessed": prep_pair,
+                "perm": perm_pair,
+                "publics": [_promote(b, pvs[i].felt(k))
+                            for k in range(avk.num_public_values)],
+                "challenges": challenges,
+                "exposed": ([Ext(exposed[i].addr)]
+                            if exposed[i] is not None else []),
+                "sels": {"is_first_row": first, "is_last_row": last,
+                         "is_transition": trans},
+            }
+            vals_prog = avk.dag.eval(ops, env,
+                                     roots=avk.dag.constraint_roots)
+            acc = b.econst((0, 0, 0, 0))
+            for root in avk.dag.constraint_roots:
+                acc = b.eadd(b.emul(acc, alpha), vals_prog[root])
+            folded_c = b.ediv(acc, z_h)
+
+            # quotient(zeta) from chunks
+            lqd = avk.log_quotient_degree
+            num_chunks = 1 << lqd
+            w_q = bb.two_adic_generator_int(log_n + lqd)
+            quotient = b.econst((0, 0, 0, 0))
+            for k in range(num_chunks):
+                zp = one_ext
+                for j in range(num_chunks):
+                    if j == k:
+                        continue
+                    s_j_inv = pow((bb.GENERATOR * pow(w_q, j, P)) % P,
+                                  -1, P)
+                    zp_zeta = b.esub(
+                        _epow(b, b.emul_felt(zeta, s_j_inv), n), one_ext)
+                    s_k = (bb.GENERATOR * pow(w_q, k, P)) % P
+                    zp_first = (pow((s_k * s_j_inv) % P, n, P) - 1) % P
+                    zp = b.emul(zp, b.emul_felt(zp_zeta,
+                                                pow(zp_first, -1, P)))
+                inner = b.econst((0, 0, 0, 0))
+                for e_i in range(4):
+                    mono = b.econst(tuple(
+                        1 if t == e_i else 0 for t in range(4)))
+                    inner = b.eadd(inner, b.emul(
+                        mono, _ext_cells(b, q_vals[i][k], e_i)))
+                quotient = b.eadd(quotient, b.emul(zp, inner))
+            for k in range(4):
+                b.assert_eq(folded_c.felt(k), quotient.felt(k))
+
+    # ---- expose public values (leaf wrapper role) ----------------------
+    if expose == "vm":
+        # pv[0..8] = first cached-main commit (the app program commitment)
+        for k in range(8):
+            b.public_value(main_commits[0].felt(k), k)
+        # pv[8..12] = connector public values (air index 1 by construction)
+        conn_pvs = pvs[1]
+        for k in range(4):
+            b.public_value(conn_pvs.felt(k), 8 + k)
+        if expose_memory_pvs:
+            # pv[12..28] = memory merkle pvs (persistent app shapes: air 3)
+            for k in range(16):
+                b.public_value(pvs[3].felt(k), 12 + k)
+    else:
+        for k in range(8):
+            b.public_value(main_commits[num_cached].felt(k), k)
+    b.halt(0)
+
+    exe = b.compile()
+    meta = {"num_insns": len(exe.program.instructions)}
+    return exe, meta

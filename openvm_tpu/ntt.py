@@ -13,9 +13,7 @@ Conventions (mirroring plonky3 so transcripts can match):
     **bit-reversed** row order (p3-fri commits LDEs bit-reversed).
 
 All data is uint32 in Montgomery form.  Stages are expressed as reshaped
-elementwise butterflies; XLA fuses the twiddle multiply chains.  A fused
-Pallas kernel for multi-stage blocks lives in openvm_tpu.pallas.ntt (applied
-when rows fit VMEM budgets).
+elementwise butterflies; XLA fuses the twiddle multiply chains.
 """
 
 from __future__ import annotations

@@ -22,6 +22,9 @@ from .vm.machine import Rv32Config, VirtualMachine
 class AppProvingKey:
     vm: VirtualMachine
     exe_commit: np.ndarray
+    # committed executable: anchors pc_start + init-memory root at verify
+    # time (reference folds these into compute_exe_commit)
+    exe: VmExe = None
 
 
 @dataclass
@@ -73,7 +76,7 @@ class Sdk:
     def app_keygen(self, exe: VmExe) -> AppProvingKey:
         vm = VirtualMachine(self.config)
         vm.keygen()
-        return AppProvingKey(vm=vm, exe_commit=vm.commit_exe(exe))
+        return AppProvingKey(vm=vm, exe_commit=vm.commit_exe(exe), exe=exe)
 
     # -- proving ---------------------------------------------------------
     def prove(self, app_pk: AppProvingKey, exe: VmExe, inputs=None,
@@ -89,4 +92,5 @@ class Sdk:
     # -- verification ----------------------------------------------------
     def verify_app_proof(self, app_pk: AppProvingKey, app_proof: AppProof):
         return app_pk.vm.verify(app_proof.proof,
-                                expected_exe_commit=app_proof.exe_commit)
+                                expected_exe_commit=app_proof.exe_commit,
+                                exe=app_pk.exe)

@@ -23,6 +23,8 @@ cumulative sums exposed + summed to zero").  Scheme:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -131,13 +133,106 @@ def append_logup_constraints(builder: AirBuilder,
 
 
 # ---------------------------------------------------------------------------
-# Device permutation-trace generation
+# Batched device evaluation of interactions
+#
+# Wide-bus chips (bigint/modular/ecc heap adapters) carry ~100 bus messages
+# per row.  Unrolling the per-message beta chains into the constraint DAG and
+# jitting that graph made XLA compile time superlinear in message count (the
+# round-1 "30-minute first prove" cliff).  Instead, interactions are stacked
+# along a message axis and the denominators
+#     d_i = alpha + bus_i + sum_j beta^{j+1} field_{i,j}
+# are computed with a handful of vectorized ops whose HLO size is independent
+# of the message count.  The same stacked form drives both the permutation
+# trace build and the quotient-domain evaluation of the LogUp constraints.
 # ---------------------------------------------------------------------------
 
 
 def _modadd_scan(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive modular prefix sum along axis 0 (x: (N, 4) ext monty)."""
     return jax.lax.associative_scan(bb.add, x, axis=0)
+
+
+def stack_interactions(dag, env, n: int):
+    """DAG-evaluate all interaction fields/counts over an n-row domain.
+
+    Returns (fields (I, F, N) base monty zero-padded along F,
+             signed_counts (I, N) base monty (receives negated),
+             bus_m (I,) base monty).
+    Traceable: safe to call inside jit with env holding traced arrays.
+    """
+    from .evaluator import DeviceOps
+
+    its = dag.interactions
+    roots = [r for (_, frs, cr, _) in its for r in frs + [cr]]
+    vals = dag.eval(DeviceOps, env, roots=roots)
+
+    def as_base_col(root):
+        tag, v = vals[root]
+        assert tag == "b", "interaction fields must be base-valued"
+        return jnp.broadcast_to(v, (n,))
+
+    f_max = max((len(frs) for (_, frs, _, _) in its), default=0)
+    zero = bb.zeros((n,))
+    fields = jnp.stack([
+        jnp.stack([as_base_col(fr) for fr in frs]
+                  + [zero] * (f_max - len(frs)))
+        if frs else jnp.zeros((max(f_max, 1), n), jnp.uint32)
+        for (_, frs, _, _) in its])  # (I, F, N)
+    sc = jnp.stack([
+        as_base_col(cr) if is_send else bb.neg(as_base_col(cr))
+        for (_, _, cr, is_send) in its])  # (I, N)
+    import numpy as _np
+    bus_m = jnp.asarray(_np.asarray(
+        [bb.to_monty_int(bus) for (bus, _, _, _) in its], dtype=_np.uint32))
+    return fields, sc, bus_m
+
+
+def _beta_pows(beta: jnp.ndarray, f_max: int) -> list:
+    """[beta^1 .. beta^f_max] as (4,) ext monty values (log-depth shared)."""
+    pows = {1: beta}
+
+    def get(k):
+        if k not in pows:
+            h = k // 2
+            pows[k] = ef.mul(get(h), get(k - h))
+        return pows[k]
+
+    return [get(j + 1) for j in range(f_max)]
+
+
+def batched_denoms(fields: jnp.ndarray, bus_m: jnp.ndarray,
+                   alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+    """d_i = alpha + bus_i + sum_j beta^{j+1} fields[i, j] -> (I, N, 4)."""
+    i_n, f_max, n = fields.shape
+    acc = ef.add(jnp.broadcast_to(alpha, (i_n, 4)), ef.from_base(bus_m))
+    acc = jnp.broadcast_to(acc[:, None, :], (i_n, n, 4))
+    for j, bp in enumerate(_beta_pows(beta, f_max)):
+        acc = bb.add(acc, bb.mul(fields[:, j, :, None], bp[None, None, :]))
+    return acc
+
+
+_ROW_BLOCK = 1 << 16
+_ROW_FLOOR = 1 << 12
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _perm_block(fields, sc, bus_m, num_chunks, chunk_gather, challenges):
+    """Permutation columns for one row block: (N, 4*num_chunks) base monty.
+
+    chunk_gather: (num_chunks, s_max) int32 interaction indices per chunk,
+    padded with I (the index of an appended zero contribution).  Summation
+    is modular bb.add over the tiny s_max axis — exact without u64 (JAX
+    x64 mode is off, so wide-integer accumulation is unavailable).
+    """
+    d = batched_denoms(fields, bus_m, challenges[0], challenges[1])
+    contrib = ef.scale(ef.inv(d), sc)  # (I, N, 4)
+    n = fields.shape[2]
+    contrib = jnp.concatenate(
+        [contrib, jnp.zeros((1, n, 4), jnp.uint32)], axis=0)
+    perm = jnp.zeros((num_chunks, n, 4), jnp.uint32)
+    for k in range(chunk_gather.shape[1]):
+        perm = bb.add(perm, contrib[chunk_gather[:, k]])
+    return jnp.transpose(perm, (1, 0, 2)).reshape(n, 4 * num_chunks)
 
 
 def build_perm_trace(dag, env, chunks: list[list[int]], challenges):
@@ -150,52 +245,165 @@ def build_perm_trace(dag, env, chunks: list[list[int]], challenges):
     challenges: (2, 4) ext monty device array [alpha, beta].
     Returns (perm_matrix (N, 4*(m+1)) base monty, cumsum (4,) ext monty).
     """
-    from .evaluator import DeviceOps
+    n = (env["main"][0].shape[0] if env["main"]
+         else env["preprocessed"].shape[0])
+    # field/count expressions must see the full domain (offset=1 rolls wrap
+    # around the whole trace), so stack first, then block rows
+    fields, sc, bus_m = stack_interactions(dag, env, n)
 
-    roots = [r for (_, frs, cr, _) in dag.interactions for r in frs + [cr]]
-    vals = dag.eval(DeviceOps, env, roots=roots)
-    n = env["main"][0].shape[0] if env["main"] else env["preprocessed"].shape[0]
-    alpha = challenges[0]
-    beta = challenges[1]
+    import numpy as _np
 
-    def as_base_col(root):
-        tag, v = vals[root]
-        assert tag == "b", "interaction fields must be base-valued"
-        return jnp.broadcast_to(v, (n,))
+    def pow2(x):
+        return 1 << max(x - 1, 0).bit_length()
 
-    # denominators per interaction: (N, 4) ext
-    denoms = []
-    signed_counts = []
-    for bus, field_roots, count_root, is_send in dag.interactions:
-        acc = ef.add(ef.from_base(bb.full((), bus)), alpha)
-        acc = jnp.broadcast_to(acc, (n, 4))
-        bpow = beta
-        for fr in field_roots:
-            f = as_base_col(fr)
-            acc = ef.add(acc, ef.scale(jnp.broadcast_to(bpow, (n, 4)), f))
-            bpow = ef.mul(bpow, beta)
-        denoms.append(acc)
-        cnt = as_base_col(count_root)
-        signed_counts.append(cnt if is_send else bb.neg(cnt))
-
-    # batch-invert all denominators at once
-    all_d = jnp.stack(denoms)  # (I, N, 4)
-    all_inv = ef.inv(all_d)
-
+    # Bucket the interaction/field/chunk axes to powers of two so one
+    # compiled kernel serves every AIR in the bucket (per-AIR jits cost
+    # ~30s each on XLA:CPU; a 19-AIR VM would pay 10 minutes of compiles).
+    # Padded interactions carry count 0 -> zero contribution; padded chunk
+    # slots gather the appended zero row.
+    n_its = len(dag.interactions)
     m = len(chunks)
-    perm_cols = []
-    for chunk in chunks:
-        acc = ef.zeros((n,))
-        for i in chunk:
-            acc = ef.add(acc, ef.scale(all_inv[i], signed_counts[i]))
-        perm_cols.append(acc)
+    i_pad = pow2(n_its)
+    f_pad = pow2(fields.shape[1])
+    c_pad = pow2(m)
+    s_max = pow2(max(len(c) for c in chunks))
+    fields = jnp.pad(fields, ((0, i_pad - n_its), (0, f_pad - fields.shape[1]),
+                              (0, 0)))
+    sc = jnp.pad(sc, ((0, i_pad - n_its), (0, 0)))
+    bus_m = jnp.pad(bus_m, (0, i_pad - n_its))
+    chunk_gather = _np.full((c_pad, s_max), i_pad, dtype=_np.int32)
+    for j, chunk in enumerate(chunks):
+        chunk_gather[j, :len(chunk)] = chunk
+    chunk_gather = jnp.asarray(chunk_gather)
+
+    # rows: pad small traces to a floor height so they share one kernel
+    # (wasted rows are trivial; a fresh XLA compile is not)
+    n_pad = max(n, _ROW_FLOOR)
+    if n_pad > n:
+        fields = jnp.pad(fields, ((0, 0), (0, 0), (0, n_pad - n)))
+        sc = jnp.pad(sc, ((0, 0), (0, n_pad - n)))
+
+    blocks = []
+    for r0 in range(0, n_pad, _ROW_BLOCK):
+        blocks.append(_perm_block(fields[:, :, r0:r0 + _ROW_BLOCK],
+                                  sc[:, r0:r0 + _ROW_BLOCK], bus_m, c_pad,
+                                  chunk_gather, challenges)[:, :4 * m])
+    perm_cols = (jnp.concatenate(blocks, axis=0) if len(blocks) > 1
+                 else blocks[0])[:n]  # (N, 4m)
 
     row_sum = ef.zeros((n,))
-    for c in perm_cols:
-        row_sum = ef.add(row_sum, c)
+    for j in range(m):
+        row_sum = ef.add(row_sum, perm_cols[:, 4 * j:4 * j + 4])
     phi = _modadd_scan(row_sum)  # (N, 4) inclusive prefix sums
     cumsum = phi[-1]
 
-    perm_matrix = jnp.concatenate(
-        [c.reshape(n, 4) for c in perm_cols] + [phi.reshape(n, 4)], axis=1)
+    perm_matrix = jnp.concatenate([perm_cols, phi.reshape(n, 4)], axis=1)
     return perm_matrix, cumsum
+
+
+def _pow_ladder(alpha, k: int) -> jnp.ndarray:
+    """(k, 4) ext monty [alpha^0 .. alpha^{k-1}] via log-depth doubling."""
+    pows = ef.ones((1,))
+    a_n = alpha
+    while pows.shape[0] < k:
+        pows = jnp.concatenate(
+            [pows, ef.mul(pows, jnp.broadcast_to(a_n, pows.shape))])
+        a_n = ef.mul(a_n, a_n)
+    return pows[:k]
+
+
+def eval_logup_folded(dag, chunks: list[list[int]], env, alpha_fold):
+    """Horner-fold the LogUp constraint values over the evaluation domain.
+
+    Evaluates the same constraints appended by ``append_logup_constraints``
+    — chunk identities, then the phi first/transition/last constraints — in
+    the same order, but batched along the message AND chunk axes instead of
+    unrolled in the DAG (identical field values; exact arithmetic).  A chip
+    with C chunks costs O(s_max) big tensor ops, not O(C·s_max) small ones
+    — XLA:CPU compile time is superlinear in HLO op count, and the
+    per-chunk unrolled form made wide chips (75+ chunks) take minutes of
+    compile per AIR.  Returns the (N, 4) ext monty Horner accumulation
+    sum_k alpha_fold^{K-1-k} c_k, for the prover's quotient path.
+    Traceable under jit.
+    """
+    n = (env["main"][0].shape[0] if env["main"]
+         else env["preprocessed"].shape[0])
+    step = env["next_step"]
+    alpha_ch = env["challenges"][0]
+    beta_ch = env["challenges"][1]
+    fields, sc, bus_m = stack_interactions(dag, env, n)
+    d = batched_denoms(fields, bus_m, alpha_ch, beta_ch)  # (I, N, 4)
+
+    perm = env["perm"]
+    m = len(chunks)
+    n_its = len(dag.interactions)
+    s_max = max(len(c) for c in chunks)
+
+    import numpy as _np
+    chunk_gather = _np.full((m, s_max), n_its, dtype=_np.int32)
+    for j, chunk in enumerate(chunks):
+        chunk_gather[j, :len(chunk)] = chunk
+    chunk_gather = jnp.asarray(chunk_gather)
+
+    # padded slots: multiplicative identity denom, zero count
+    d_pad = jnp.concatenate([d, ef.ones((n,))[None]], axis=0)
+    sc_pad = jnp.concatenate([sc, jnp.zeros((1, n), jnp.uint32)], axis=0)
+    ds = d_pad[chunk_gather]      # (C, S, N, 4)
+    scs = sc_pad[chunk_gather]    # (C, S, N)
+
+    # prefix/suffix products along the tiny S axis, batched over chunks
+    ones_c = jnp.broadcast_to(ef.ones((1,))[0], (m, n, 4))
+    prefix = [ones_c]
+    for k in range(s_max):
+        prefix.append(ef.mul(prefix[-1], ds[:, k]))
+    suffix = [ones_c]
+    for k in reversed(range(s_max)):
+        suffix.insert(0, ef.mul(ds[:, k], suffix[0]))
+
+    perm_c = jnp.transpose(
+        perm[:, :4 * m].reshape(n, m, 4), (1, 0, 2))  # (C, N, 4)
+    lhs = ef.mul(perm_c, prefix[s_max])
+    rhs = jnp.zeros((m, n, 4), jnp.uint32)
+    for k in range(s_max):
+        excl = ef.mul(prefix[k], suffix[k + 1])
+        rhs = ef.add(rhs, ef.scale(excl, scs[:, k]))
+    cons_chunks = ef.sub(lhs, rhs)  # (C, N, 4)
+
+    def perm_col(j, offset=0):
+        cols = perm[:, 4 * j:4 * j + 4]
+        return jnp.roll(cols, -step, axis=0) if offset else cols
+
+    phi = perm_col(m)
+    phi_next = perm_col(m, offset=1)
+    perm_sum = ef.sum_mod(perm_c, axis=0)
+    perm_next = jnp.roll(perm[:, :4 * m], -step, axis=0)
+    perm_sum_next = ef.sum_mod(
+        jnp.transpose(perm_next.reshape(n, m, 4), (1, 0, 2)), axis=0)
+
+    def sel(name):
+        return env["sels"][name]
+
+    exposed = jnp.broadcast_to(env["exposed"][0], (n, 4))
+    c_first = ef.scale(ef.sub(phi, perm_sum), sel("is_first_row"))
+    c_trans = ef.scale(
+        ef.sub(ef.sub(phi_next, phi), perm_sum_next), sel("is_transition"))
+    c_last = ef.scale(ef.sub(phi, exposed), sel("is_last_row"))
+
+    # Horner order: [chunk_0..chunk_{C-1}, first, trans, last] — same value
+    # as the sequential fold, computed as sum_j alpha^{K-1-j} c_j with the
+    # chunk part batched over C.
+    pows = _pow_ladder(alpha_fold, m + 3)          # alpha^0 .. alpha^{C+2}
+    chunk_pows = pows[3:m + 3][::-1]               # alpha^{C+2} .. alpha^3
+    weighted = ef.mul(cons_chunks, chunk_pows[:, None, :])
+    acc = ef.sum_mod(weighted, axis=0)             # (N, 4)
+    acc = ef.add(acc, ef.mul(c_first,
+                             jnp.broadcast_to(pows[2], (n, 4))))
+    acc = ef.add(acc, ef.mul(c_trans,
+                             jnp.broadcast_to(pows[1], (n, 4))))
+    acc = ef.add(acc, c_last)
+    return acc
+
+
+def num_logup_constraints(vk) -> int:
+    """Number of constraint roots appended by append_logup_constraints."""
+    return (len(vk.interaction_chunks) + 3) if vk.dag.interactions else 0

@@ -208,7 +208,7 @@ def _selectors_on_domain(log_n: int, log_domain: int, shift: int):
     }
 
 
-def _group_constraint_roots(dag, budget: int = 1500):
+def _group_constraint_roots(dag, roots=None, budget: int = 1500):
     """Partition constraint roots (in order) so each group's reachable
     subgraph stays under ~budget nodes (keeps per-jit compile time sane)."""
 
@@ -231,7 +231,7 @@ def _group_constraint_roots(dag, budget: int = 1500):
     groups = []
     cur = []
     seen: set = set()
-    for root in dag.constraint_roots:
+    for root in (dag.constraint_roots if roots is None else roots):
         added = reach_size(root, seen)
         cur.append(root)
         if len(seen) > budget:
@@ -402,8 +402,16 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         # below a node budget: XLA:CPU compile time is superlinear in fused
         # graph size, so several medium jits beat one giant one.  The Horner
         # fold recombines exactly: folded = sum_j alpha^{tail_j} fold(G_j).
+        # The LogUp constraint roots (always the DAG's tail) are NOT lowered
+        # from the DAG: their unrolled per-message beta chains are what made
+        # wide-bus chips take ~30 min of XLA compile.  They are evaluated by
+        # the batched message-axis evaluator instead (identical values).
         dag = vk.dag
-        groups = _group_constraint_roots(dag, budget=1500)
+        from .logup import eval_logup_folded, num_logup_constraints
+        n_logup = num_logup_constraints(vk)
+        base_roots = (dag.constraint_roots[:-n_logup] if n_logup
+                      else dag.constraint_roots)
+        groups = _group_constraint_roots(dag, roots=base_roots, budget=1500)
 
         def group_closure(roots, mains, prep, perm, publics, chs, expo,
                           sels_a, alpha_a, dag=dag, log_q=log_q, step=step):
@@ -439,26 +447,40 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
              else ef.zeros((1,))),
             sels, alpha)
 
+        def logup_closure(mains, prep, perm, publics, chs, expo,
+                          sels_a, alpha_a, dag=dag, log_q=log_q, step=step):
+            env = {"main": [q_slice(m) for m in mains],
+                   "preprocessed": (q_slice(prep) if prep is not None
+                                    else None),
+                   "perm": q_slice(perm) if perm is not None else None,
+                   "publics": publics, "challenges": chs, "exposed": expo,
+                   "sels": sels_a, "next_step": step}
+            return eval_logup_folded(dag, vk.interaction_chunks, env,
+                                     alpha_a)
+
         lowered = [
-            (roots,
+            (len(roots),
              jax.jit(functools.partial(group_closure, tuple(roots)))
              .lower(*args))
             for roots in groups]
+        if n_logup:
+            lowered.append(
+                (n_logup, jax.jit(logup_closure).lower(*args)))
         return lowered, args, (log_q, step, sels)
 
     _q_prepared = [prepare_quotient(i, c, vk)
                    for i, (c, vk) in enumerate(zip(ctxs, vks))]
-    _q_futs = [[(roots, _pool.submit(low.compile))
-                for (roots, low) in lowered]
+    _q_futs = [[(count, _pool.submit(low.compile))
+                for (count, low) in lowered]
                for (lowered, _, _) in _q_prepared]
     for i, ((lowered, args, (log_q, step, sels)), futs) in enumerate(
             zip(_q_prepared, _q_futs)):
         acc = ef.zeros((1 << log_q,))
         consumed = 0
-        for roots, fut in futs:
+        for count, fut in futs:
             part = fut.result()(*args)
-            consumed += len(roots)
-            shift = ef.exp_u64(alpha, len(roots))
+            consumed += count
+            shift = ef.exp_u64(alpha, count)
             acc = ef.add(ef.mul(jnp.broadcast_to(shift, part.shape), acc),
                          part)
         assert consumed == len(vks[i].dag.constraint_roots)

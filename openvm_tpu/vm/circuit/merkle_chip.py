@@ -74,6 +74,13 @@ class MemoryMerkleAir(Air):
         b.assert_bool(tl)
         b.assert_bool(tr)
         b.assert_zero(is_root * (1 - v))
+        # the first row is ALWAYS a valid root row, so the public values
+        # are bound unconditionally — an all-padding trace cannot claim
+        # arbitrary roots (reference MemoryMerkleAir pins root rows with
+        # when_first_row, crates/vm/src/system/memory/merkle/air.rs)
+        first = b.is_first_row()
+        b.assert_zero(first * (1 - v))
+        b.assert_zero(first * (1 - is_root))
         # at least one child touched on valid rows
         b.assert_zero(v * (1 - tl) * (1 - tr))
         # untouched children carry unchanged digests
@@ -141,6 +148,8 @@ class MemoryMerkleAir(Air):
         assert rows, "no leaf updates"
         initial_root = rows[-1]["old_d"]
         final_root = rows[-1]["new_d"]
+        # the AIR pins row 0 as the root row (unconditional PV binding)
+        rows = [rows[-1]] + rows[:-1]
 
         from ..memory_tree import _host
         perm = _host()

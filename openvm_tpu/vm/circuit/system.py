@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...stark.symbolic import Air
+from ..instructions import SystemOpcode
 from . import buses as B
 from .buses import Cols
 
@@ -57,18 +58,27 @@ class ConnectorAir(Air):
     Row 1: receives (final_pc, final_ts); exposes exit code.
     PVs: [initial_pc, final_pc, exit_code, is_terminate].
 
+    When is_terminate=1 the end row additionally looks up
+    (final_pc, TERMINATE, [0, 0, exit_code]) on the program bus so a prover
+    cannot stop at an arbitrary pc and claim termination (reference
+    crates/vm/src/system/connector/mod.rs lookup_instruction).  The end
+    timestamp is range-checked to TIMESTAMP_BITS so the total timestamp
+    cannot wrap the field (reference range-checks both boundary
+    timestamps).
+
     Interaction counts must be polynomial, so 0/1 indicator *columns*
     is_begin/is_end are pinned to rows 0/1 with selector-gated constraints
     (selectors themselves are rational and only legal inside constraints).
     """
 
     name = "connector"
-    width = 6  # pc, ts, exit_code, is_terminate, is_begin, is_end
+    width = 8  # pc, ts, exit_code, is_terminate, is_begin, is_end,
+    #            ts_lo, ts_hi
     num_public_values = 4
 
     def eval(self, b):
-        pc, ts, exit_code, is_term, is_begin, is_end = (
-            b.main(i) for i in range(6))
+        pc, ts, exit_code, is_term, is_begin, is_end, ts_lo, ts_hi = (
+            b.main(i) for i in range(8))
         first = b.is_first_row()
         last = b.is_last_row()
         trans = b.is_transition()
@@ -87,12 +97,23 @@ class ConnectorAir(Air):
         b.assert_zero(last * (exit_code - b.public_value(2)))
         b.assert_zero(last * (is_term - b.public_value(3)))
         b.assert_bool(is_term)
+        # terminating end state must fetch a TERMINATE instruction with
+        # this exit code from the program ROM
+        B.fetch(b, pc, SystemOpcode.TERMINATE,
+                [0, 0, exit_code, 0, 0, 0, 0], is_end * is_term)
+        # end timestamp fits TIMESTAMP_BITS (no field wrap-around)
+        b.assert_zero(is_end * (ts - ts_lo
+                                - ts_hi * (1 << B.RANGE_LO_BITS)))
+        B.range_check(b, ts_lo, B.RANGE_LO_BITS, is_end)
+        B.range_check(b, ts_hi, B.TIMESTAMP_BITS - B.RANGE_LO_BITS, is_end)
 
 
 def connector_trace(initial_pc, final_pc, final_ts, exit_code, is_terminate):
-    rows = np.zeros((2, 6), dtype=np.uint64)
-    rows[0] = [initial_pc, B.INITIAL_TIMESTAMP, 0, 0, 1, 0]
-    rows[1] = [final_pc, final_ts, exit_code, is_terminate, 0, 1]
+    rows = np.zeros((2, 8), dtype=np.uint64)
+    rows[0] = [initial_pc, B.INITIAL_TIMESTAMP, 0, 0, 1, 0, 0, 0]
+    rows[1] = [final_pc, final_ts, exit_code, is_terminate, 0, 1,
+               final_ts & ((1 << B.RANGE_LO_BITS) - 1),
+               final_ts >> B.RANGE_LO_BITS]
     return rows
 
 

@@ -157,6 +157,79 @@ class Mul256Opcode:
     MUL = 0x450
 
 
+class NativeLoadStoreOpcode:
+    """Native (AS4) single-cell load/store (reference
+    extensions/native/compiler/src/lib.rs:43-51, offset 0x100)."""
+    LOADW = 0x100
+    STOREW = 0x101
+    HINT_STOREW = 0x102
+
+
+class NativeLoadStore4Opcode:
+    """Block-4 variants (reference lib.rs:54-63, offset 0x108)."""
+    LOADW4 = 0x108
+    STOREW4 = 0x109
+    HINT_STOREW4 = 0x10A
+
+
+class NativeBranchEqOpcode:
+    """Felt equality branches (reference lib.rs:66-73, offset 0x110)."""
+    BEQ = 0x110
+    BNE = 0x111
+
+
+class NativeJalOpcode:
+    JAL = 0x115
+
+
+class NativeRangeCheckOpcode:
+    RANGE_CHECK = 0x120
+
+
+class CastfOpcode:
+    CASTF = 0x125
+
+
+class FieldArithmeticOpcode:
+    """Native felt arithmetic (reference lib.rs:118-126, offset 0x130)."""
+    ADD = 0x130
+    SUB = 0x131
+    MUL = 0x132
+    DIV = 0x133
+
+
+class FieldExtensionOpcode:
+    """Degree-4 extension arithmetic on 4-blocks (reference
+    lib.rs:142-146, offset 0x140)."""
+    FE4ADD = 0x140
+    FE4SUB = 0x141
+    BBE4MUL = 0x142
+    BBE4DIV = 0x143
+
+
+class Poseidon2Opcode:
+    """Native poseidon2 (reference lib.rs:181-186, offset 0x150)."""
+    PERM_POS2 = 0x150
+    COMP_POS2 = 0x151
+
+
+class FriOpcode:
+    FRI_REDUCED_OPENING = 0x160
+
+
+class VerifyBatchOpcode:
+    VERIFY_BATCH = 0x170
+
+
+class NativePhantom:
+    """Reference lib.rs:149-161 (NativePhantom discriminants)."""
+    PRINT = 0x10
+    HINT_INPUT = 0x11
+    HINT_BITS = 0x12
+    HINT_LOAD = 0x13
+    HINT_FELT = 0x14
+
+
 class SysPhantom:
     NOP = 0
     DEBUG_PANIC = 1

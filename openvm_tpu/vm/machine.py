@@ -17,6 +17,7 @@ import numpy as np
 from ..field import babybear as bb
 from ..stark import (AirProvingContext, StarkConfig, keygen as stark_keygen,
                      prove as stark_prove, verify as stark_verify)
+from ..stark.verifier import VerificationError
 from ..stark.evaluator import DeviceOps
 from .. import merkle, ntt
 from .circuit import buses as B
@@ -32,6 +33,11 @@ from .preflight import PreflightInterpreter
 from .instructions import VmExe
 
 P = 2013265921
+
+
+def _check(cond, msg):
+    if not cond:
+        raise VerificationError(msg)
 
 
 FULL_EXECUTORS = ("alu", "lt", "beq", "blt", "jal_lui", "jalr", "auipc",
@@ -59,6 +65,12 @@ class Rv32Config:
     # persistent memory: Merkle-committed memory state (continuations mode,
     # reference SystemConfig.continuation_enabled)
     persistent: bool = False
+    # native (recursion) VM: felt-granular AS-4 memory, native extension
+    # chips, felt public values (reference NativeConfig,
+    # extensions/native/circuit/src/extension/mod.rs:89-167)
+    native: bool = False
+    # felt public values for the native VM (reference VmVerifierPvs sizing)
+    num_native_pvs: int = 16
 
     def __post_init__(self):
         if self.stark is None:
@@ -86,11 +98,35 @@ _register_int256()
 INT256_EXECUTORS = ("int256_alu", "int256_lt", "int256_mul", "int256_beq",
                     "int256_blt", "int256_shift")
 
+NATIVE_EXECUTORS = ("native_field_arithmetic", "native_field_extension",
+                    "native_branch_eq", "native_loadstore",
+                    "native_loadstore4", "native_jal_rangecheck",
+                    "native_poseidon2")
+
+
+def NativeConfig(stark: StarkConfig = None, num_native_pvs: int = 16):
+    """VM config for the native (recursion) VM — native chips only
+    (reference NativeConfig::aggregation, extension/mod.rs:557-569)."""
+    return Rv32Config(stark=stark, native=True, executors=NATIVE_EXECUTORS,
+                      num_native_pvs=num_native_pvs)
+
 
 class VirtualMachine:
     def __init__(self, config: Rv32Config | None = None):
         self.config = config or Rv32Config()
-        if self.config.persistent:
+        if self.config.native:
+            from .circuit.native import NATIVE_AIRS, NativePublicValuesAir
+            from .circuit.poseidon2_chip import Poseidon2Air
+            system = [
+                ProgramAir(), ConnectorAir(),
+                NativePublicValuesAir(self.config.num_native_pvs),
+                VolatileBoundaryAir(), Poseidon2Air(), RangeCheckerAir(),
+                BitwiseLookupAir(), PhantomAir(),
+            ]
+            for name, ctor in NATIVE_AIRS.items():
+                if name not in _EXECUTOR_AIRS:
+                    _EXECUTOR_AIRS[name] = ctor
+        elif self.config.persistent:
             from .circuit.merkle_chip import MemoryMerkleAir
             from .circuit.persistent_boundary import PersistentBoundaryAir
             from .circuit.poseidon2_chip import Poseidon2Air
@@ -156,7 +192,9 @@ class VirtualMachine:
                 raise
         if pre is None:  # no toolchain / extension opcodes: python fallback
             pre = PreflightInterpreter(
-                exe, self.config.num_pv_words, moduli=self.config.moduli,
+                exe, (self.config.num_native_pvs if self.config.native
+                      else self.config.num_pv_words),
+                moduli=self.config.moduli,
                 curves=self.config.curves,
                 fp2=self.config.fp2).execute(inputs, max_insns)
         heights = {}
@@ -256,7 +294,9 @@ class VirtualMachine:
                 pre = None
         if pre is None:
             pre = PreflightInterpreter(
-                exe, self.config.num_pv_words, moduli=self.config.moduli,
+                exe, (self.config.num_native_pvs if self.config.native
+                      else self.config.num_pv_words),
+                moduli=self.config.moduli,
                 curves=self.config.curves,
                 fp2=self.config.fp2).execute(inputs, max_insns, state=state)
 
@@ -266,7 +306,11 @@ class VirtualMachine:
         mult = np.zeros((len(cached), 1), dtype=np.uint64)
         for idx, cnt in pre.exec_counts.items():
             mult[idx, 0] = cnt
-        # terminate row itself is never fetched
+        # the connector's end row fetches the TERMINATE instruction when the
+        # segment terminates (soundness: final_pc must hold TERMINATE)
+        if pre.exit_code is not None:
+            t_idx = (pre.final_pc - exe.program.pc_base) // exe.program.step
+            mult[t_idx, 0] += 1
         traces["program"] = mult
         program_cached = cached
 
@@ -280,6 +324,37 @@ class VirtualMachine:
         if self.config.persistent:
             merkle_pvs = self._persistent_traces(traces, pre, exe,
                                                  initial_tree=initial_tree)
+        elif self.config.native:
+            pv_air = self.airs[self.air_index["native_public_values"]]
+            traces["native_public_values"] = pv_air.trace(pre.touched)
+            bnd = sorted((k, v) for k, v in pre.touched.items()
+                         if k[0] in (1, 2, 4))
+            brows = np.zeros((max(len(bnd), 1),
+                              self.airs[self.air_index["memory_boundary"]]
+                              .width), dtype=np.uint64)
+            for r, ((a_s, wa), w) in enumerate(bnd):
+                init = pre.init_words[(a_s, wa)]
+                brows[r, 0] = 1
+                brows[r, 1] = a_s
+                brows[r, 2] = wa
+                brows[r, 3:7] = init
+                brows[r, 7:11] = w[:4]
+                brows[r, 11] = w[4]
+            keys = [a_s * (1 << 27) + wa for ((a_s, wa), _) in bnd]
+            for r in range(len(bnd) - 1):
+                dk = keys[r + 1] - keys[r] - 1
+                brows[r, 12] = dk & 0x7FFF
+                brows[r, 13] = dk >> 15
+                brows[r, 14] = 1
+            traces["memory_boundary"] = _pad_pow2(brows)
+            # shared poseidon2 chip: requests from the native adapter
+            p2_air = self.airs[self.air_index["poseidon2"]]
+            p2rec = pre.records.get("native_poseidon2")
+            if p2rec and len(p2rec["pc"]):
+                requests = np.asarray(p2rec["inp"], dtype=np.uint64)
+            else:
+                requests = np.zeros((0, 16), dtype=np.uint64)
+            traces["poseidon2"] = p2_air.trace(requests)
         else:
             # public values air: data + final ts per word
             npv = self.config.num_pv_words
@@ -366,6 +441,10 @@ class VirtualMachine:
                     0 if suspended else 1]
             if air.name == "public_values":
                 kwargs["public_values"] = list(pre.public_values)
+            if air.name == "native_public_values":
+                kwargs["public_values"] = [
+                    (pre.touched.get((3, i)) or [0])[0]
+                    for i in range(self.config.num_native_pvs)]
             if air.name == "memory_merkle" and merkle_pvs is not None:
                 kwargs["public_values"] = merkle_pvs
             ctxs.append(AirProvingContext(**kwargs))
@@ -473,66 +552,87 @@ class VirtualMachine:
         """Chain checks across segment proofs (reference verify_segments,
         arch/vm.rs:1107-1237): per-segment STARK validity, program-commit
         equality, pc chaining, memory-root chaining, suspend/terminate
-        discipline.  Returns the final root for pv extraction."""
-        assert proofs
+        discipline.  Returns the final root for pv extraction.
+
+        All checks raise VerificationError (never bare assert, which
+        vanishes under ``python -O``)."""
+        if not proofs:
+            raise VerificationError("no segment proofs")
         prev_conn = prev_mk = None
         init_root = [int(x) for x in self.commit_init_memory(exe)]
         for i, proof in enumerate(proofs):
             stark_verify(self.pk.vk, proof)
-            assert [p.air_id for p in proof.per_air] == list(
-                range(len(self.airs))), "missing AIRs"
+            _check([p.air_id for p in proof.per_air] == list(
+                range(len(self.airs))), "missing AIRs")
             if expected_exe_commit is not None:
                 got = np.asarray(proof.commitments.main_trace[0],
                                  dtype=np.uint64)
-                assert np.array_equal(
-                    got, np.asarray(expected_exe_commit, dtype=np.uint64)), \
-                    "program commitment mismatch"
+                _check(np.array_equal(
+                    got, np.asarray(expected_exe_commit, dtype=np.uint64)),
+                    "program commitment mismatch")
             conn = proof.per_air[self.air_index["connector"]].public_values
             mk = proof.per_air[self.air_index["memory_merkle"]].public_values
             if i == 0:
-                assert conn[0] == exe.pc_start, "wrong entry pc"
-                assert list(mk[:8]) == init_root, "wrong initial memory root"
+                _check(conn[0] == exe.pc_start, "wrong entry pc")
+                _check(list(mk[:8]) == init_root,
+                       "wrong initial memory root")
             else:
-                assert prev_conn[1] == conn[0], "pc chain broken"
-                assert list(prev_mk[8:]) == list(mk[:8]), \
-                    "memory root chain broken"
+                _check(prev_conn[1] == conn[0], "pc chain broken")
+                _check(list(prev_mk[8:]) == list(mk[:8]),
+                       "memory root chain broken")
             last = i == len(proofs) - 1
             if last:
-                assert conn[3] == 1, "final segment did not terminate"
-                assert conn[2] == 0, f"exit code {conn[2]}"
+                _check(conn[3] == 1, "final segment did not terminate")
+                _check(conn[2] == 0, f"exit code {conn[2]}")
             else:
-                assert conn[3] == 0 and conn[2] == 42, \
-                    "non-final segment must suspend with exit code 42"
+                _check(conn[3] == 0 and conn[2] == 42,
+                       "non-final segment must suspend with exit code 42")
             prev_conn, prev_mk = conn, mk
         return {"final_root": list(prev_mk[8:]),
                 "num_segments": len(proofs)}
 
     # -- verification ----------------------------------------------------
-    def verify(self, proof, expected_exe_commit=None):
+    def verify(self, proof, expected_exe_commit=None, exe: VmExe = None):
+        """Verify a single (terminating) proof.
+
+        In persistent mode pass ``exe`` so the proof's initial memory root
+        and entry pc are anchored to the executable — without the anchor a
+        proof over forged initial memory verifies (reference folds the
+        init-memory root and pc_start into the exe commit,
+        compute_exe_commit, crates/vm/src/system/program/trace.rs:96-152).
+        """
         stark_verify(self.pk.vk, proof)
         # all airs must be present, in order
-        assert [p.air_id for p in proof.per_air] == list(
-            range(len(self.airs))), "missing AIRs"
+        _check([p.air_id for p in proof.per_air] == list(
+            range(len(self.airs))), "missing AIRs")
         conn = proof.per_air[self.air_index["connector"]]
-        assert conn.public_values[3] == 1, "program did not terminate"
-        assert conn.public_values[2] == 0, \
-            f"exit code {conn.public_values[2]}"
+        _check(conn.public_values[3] == 1, "program did not terminate")
+        _check(conn.public_values[2] == 0,
+               f"exit code {conn.public_values[2]}")
         if expected_exe_commit is not None:
             got = np.asarray(proof.commitments.main_trace[0],
                              dtype=np.uint64)
-            assert np.array_equal(got, np.asarray(expected_exe_commit,
-                                                  dtype=np.uint64)), \
-                "program commitment mismatch"
+            _check(np.array_equal(got, np.asarray(expected_exe_commit,
+                                                  dtype=np.uint64)),
+                   "program commitment mismatch")
+        if exe is not None:
+            _check(conn.public_values[0] == exe.pc_start, "wrong entry pc")
         result = {
             "initial_pc": conn.public_values[0],
             "final_pc": conn.public_values[1],
         }
         if self.config.persistent:
             mk = proof.per_air[self.air_index["memory_merkle"]]
+            if exe is not None:
+                init_root = [int(x) for x in self.commit_init_memory(exe)]
+                _check(list(mk.public_values[:8]) == init_root,
+                       "wrong initial memory root")
             result["initial_root"] = mk.public_values[:8]
             result["final_root"] = mk.public_values[8:]
         else:
-            pv_air = proof.per_air[self.air_index["public_values"]]
+            pv_name = ("native_public_values" if self.config.native
+                       else "public_values")
+            pv_air = proof.per_air[self.air_index[pv_name]]
             result["public_values"] = pv_air.public_values
         return result
 

@@ -22,8 +22,13 @@ from .circuit import buses as B
 from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            BranchEqual256Opcode, BranchEqualOpcode,
                            BranchLessThan256Opcode, BranchLessThanOpcode,
-                           DivRemOpcode, LessThan256Opcode, LessThanOpcode,
-                           Mul256Opcode, MulHOpcode, MulOpcode, P,
+                           DivRemOpcode, FieldArithmeticOpcode,
+                           FieldExtensionOpcode, LessThan256Opcode,
+                           LessThanOpcode, Mul256Opcode, MulHOpcode,
+                           MulOpcode, NativeBranchEqOpcode,
+                           NativeJalOpcode, NativeLoadStore4Opcode,
+                           NativeLoadStoreOpcode, NativePhantom,
+                           NativeRangeCheckOpcode, P, Poseidon2Opcode,
                            Rv32AuipcOpcode, Rv32HintStoreOpcode,
                            Rv32JalLuiOpcode, Rv32JalrOpcode,
                            Rv32LoadStoreOpcode, Rv32Phantom, Shift256Opcode,
@@ -762,6 +767,189 @@ class PreflightInterpreter:
                         pts_rd=p3, pts_x=pts_x, pts_y=pts_y, pts_z=pts_z)
                 pc, ts = pc + 4, ts + 51
 
+            elif (FieldArithmeticOpcode.ADD <= op
+                  <= FieldArithmeticOpcode.DIV):
+                # native felt arithmetic (reference field_arithmetic/)
+                r = recs["native_field_arithmetic"]
+                oi = op - FieldArithmeticOpcode.ADD
+                b_imm, c_imm = int(e == 0), int(f == 0)
+                if b_imm:
+                    bv, p1 = b, 0
+                else:
+                    w, p1 = mem.read(4, b, ts)
+                    bv = w[0]
+                if c_imm:
+                    cv, p2 = c, 0
+                else:
+                    w, p2 = mem.read(4, c, ts + 1)
+                    cv = w[0]
+                if oi == 0:
+                    res = (bv + cv) % P
+                elif oi == 1:
+                    res = (bv - cv) % P
+                elif oi == 2:
+                    res = (bv * cv) % P
+                else:
+                    if cv % P == 0:
+                        raise ExecutionError(f"felt div by zero at {pc:#x}")
+                    res = (bv * pow(cv, -1, P)) % P
+                if d == 3 and a >= self.num_pv_words:
+                    raise ExecutionError("native pv index out of range")
+                prevw, pw = mem.write(d, a, [res, 0, 0, 0], ts + 2)
+                _append(r, pc=pc, ts=ts, op_idx=oi, a=a, b=b, c=c,
+                        dst_as=d, b_imm=b_imm, c_imm=c_imm, b_val=bv,
+                        c_val=cv, result=res, p_tsb=p1, p_tsc=p2, p_tsw=pw,
+                        prev_w=prevw[0])
+                pc, ts = pc + 4, ts + 3
+
+            elif (FieldExtensionOpcode.FE4ADD <= op
+                  <= FieldExtensionOpcode.BBE4DIV):
+                r = recs["native_field_extension"]
+                oi = op - FieldExtensionOpcode.FE4ADD
+                x, pts_x = [], []
+                for i in range(4):
+                    w, p_ = mem.read(4, b + i, ts + i)
+                    x.append(w[0]), pts_x.append(p_)
+                y, pts_y = [], []
+                for i in range(4):
+                    w, p_ = mem.read(4, c + i, ts + 4 + i)
+                    y.append(w[0]), pts_y.append(p_)
+                from ..field.babybear import (ext_inv_int, ext_mul_int)
+                if oi == 0:
+                    z = [(x[i] + y[i]) % P for i in range(4)]
+                elif oi == 1:
+                    z = [(x[i] - y[i]) % P for i in range(4)]
+                elif oi == 2:
+                    z = list(ext_mul_int(tuple(x), tuple(y)))
+                else:
+                    if all(v == 0 for v in y):
+                        raise ExecutionError(f"ext div by zero at {pc:#x}")
+                    z = list(ext_mul_int(tuple(x), ext_inv_int(tuple(y))))
+                prev_z, pts_z = [], []
+                for i in range(4):
+                    pw_, pz = mem.write(4, a + i, [z[i], 0, 0, 0],
+                                        ts + 8 + i)
+                    prev_z.append(pw_[0]), pts_z.append(pz)
+                _append(r, pc=pc, ts=ts, op_idx=oi, a=a, b=b, c=c, x=x,
+                        y=y, z=z, pts_x=pts_x, pts_y=pts_y, pts_z=pts_z,
+                        prev_z=prev_z)
+                pc, ts = pc + 4, ts + 12
+
+            elif op in (NativeBranchEqOpcode.BEQ, NativeBranchEqOpcode.BNE):
+                r = recs["native_branch_eq"]
+                a_imm, b_imm = int(d == 0), int(e == 0)
+                if a_imm:
+                    xv, p1 = a, 0
+                else:
+                    w, p1 = mem.read(4, a, ts)
+                    xv = w[0]
+                if b_imm:
+                    yv, p2 = b, 0
+                else:
+                    w, p2 = mem.read(4, b, ts + 1)
+                    yv = w[0]
+                eq = (xv - yv) % P == 0
+                taken = eq if op == NativeBranchEqOpcode.BEQ else not eq
+                off = c if c <= P // 2 else c - P
+                to_pc = (pc + off) if taken else pc + 4
+                _append(r, pc=pc, ts=ts,
+                        op_idx=op - NativeBranchEqOpcode.BEQ, a=a, b=b,
+                        imm=c, a_imm=a_imm, b_imm=b_imm, x_val=xv, y_val=yv,
+                        to_pc=to_pc, p_ts1=p1, p_ts2=p2)
+                pc, ts = to_pc, ts + 2
+
+            elif (NativeLoadStoreOpcode.LOADW <= op
+                  <= NativeLoadStoreOpcode.HINT_STOREW) or (
+                      NativeLoadStore4Opcode.LOADW4 <= op
+                      <= NativeLoadStore4Opcode.HINT_STOREW4):
+                is4 = op >= NativeLoadStore4Opcode.LOADW4
+                N = 4 if is4 else 1
+                r = recs["native_loadstore4" if is4 else "native_loadstore"]
+                base = (NativeLoadStore4Opcode.LOADW4 if is4
+                        else NativeLoadStoreOpcode.LOADW)
+                oi = op - base  # 0 load, 1 store, 2 hint
+                has_ptr = int(f == 4)
+                if has_ptr:
+                    w, pp = mem.read(4, c, ts)
+                    ptr_val = w[0]
+                else:
+                    ptr_val, pp = c, 0
+                ptr = (ptr_val + b) % P
+                if ptr >= (1 << 27):
+                    raise ExecutionError(
+                        f"native pointer {ptr:#x} out of range at {pc:#x}")
+                data, pts_r = [], []
+                if oi == 0:
+                    for i in range(N):
+                        w, p_ = mem.read(4, ptr + i, ts + 1 + i)
+                        data.append(w[0]), pts_r.append(p_)
+                elif oi == 1:
+                    for i in range(N):
+                        w, p_ = mem.read(4, a + i, ts + 1 + i)
+                        data.append(w[0]), pts_r.append(p_)
+                else:
+                    hs = streams.hint_stream
+                    if len(hs) < N:
+                        raise ExecutionError("hint stream underflow")
+                    data = [int(v) % P for v in hs[:N]]
+                    del hs[:N]
+                    pts_r = [0] * N
+                w_base = a if oi == 0 else ptr
+                prev_w, pts_w = [], []
+                for i in range(N):
+                    pw_, pz = mem.write(4, w_base + i, [data[i], 0, 0, 0],
+                                        ts + 1 + N + i)
+                    prev_w.append(pw_[0]), pts_w.append(pz)
+                _append(r, pc=pc, ts=ts, op_idx=oi, a=a, b=b, c=c,
+                        has_ptr=has_ptr, ptr_val=ptr_val, data=data,
+                        p_tsp=pp, pts_r=pts_r, pts_w=pts_w, prev_w=prev_w)
+                pc, ts = pc + 4, ts + 1 + 2 * N
+
+            elif op in (NativeJalOpcode.JAL,
+                        NativeRangeCheckOpcode.RANGE_CHECK):
+                r = recs["native_jal_rangecheck"]
+                if op == NativeJalOpcode.JAL:
+                    prevw, pw = mem.write(4, a, [(pc + 4) % P, 0, 0, 0], ts)
+                    off = b if b <= P // 2 else b - P
+                    to_pc = pc + off
+                    _append(r, pc=pc, ts=ts, op_idx=0, a=a, b=b, c=0, y=0,
+                            prev_w=prevw[0], p_tsw=pw)
+                else:
+                    cur = mem._get((4, a))[:4]
+                    x = cur[0]
+                    prevw, pw = mem.write(4, a, list(cur), ts)
+                    x_lo, x_hi = x & 0x7FFF, x >> 15
+                    if x_lo >= (1 << b) or x_hi >= (1 << c):
+                        raise ExecutionError(
+                            f"RANGE_CHECK failed: {x:#x} !< 2^16*{c}+{b} "
+                            f"bits at pc {pc:#x}")
+                    to_pc = pc + 4
+                    _append(r, pc=pc, ts=ts, op_idx=1, a=a, b=b, c=c,
+                            y=x_hi, prev_w=prevw[0], p_tsw=pw)
+                pc, ts = to_pc, ts + 1
+
+            elif op in (Poseidon2Opcode.PERM_POS2, Poseidon2Opcode.COMP_POS2):
+                r = recs["native_poseidon2"]
+                is_comp = int(op == Poseidon2Opcode.COMP_POS2)
+                inp, pts_r = [], []
+                for i in range(16):
+                    addr = (b + i) if (i < 8 or not is_comp) else (c + i - 8)
+                    w, p_ = mem.read(4, addr, ts + i)
+                    inp.append(w[0]), pts_r.append(p_)
+                from .memory_tree import _host
+                out = [int(v) for v in _host().permute(
+                    np.asarray(inp, dtype=np.uint64))]
+                n_w = 8 if is_comp else 16
+                prev_w, pts_w = [0] * 16, [0] * 16
+                for i in range(n_w):
+                    pw_, pz = mem.write(4, a + i, [out[i], 0, 0, 0],
+                                        ts + 16 + i)
+                    prev_w[i], pts_w[i] = pw_[0], pz
+                _append(r, pc=pc, ts=ts, op_idx=is_comp, a=a, b=b, c=c,
+                        inp=inp, out=out, pts_r=pts_r, pts_w=pts_w,
+                        prev_w=prev_w)
+                pc, ts = pc + 4, ts + 32
+
             elif op == SystemOpcode.PHANTOM:
                 r = recs["phantom"]
                 disc = c & 0xFFFF
@@ -774,6 +962,30 @@ class PreflightInterpreter:
                         len(hint).to_bytes(4, "little"))
                     pad = (-len(hint)) % 4
                     streams.hint_stream.extend(hint + [0] * pad)
+                elif disc == NativePhantom.HINT_INPUT:
+                    # native hints are felts: [len] + felts (reference
+                    # NativeHintInputSubEx, extension/mod.rs:358-388)
+                    if not streams.input_stream:
+                        raise ExecutionError("EndOfInputStream")
+                    hint = list(streams.input_stream.pop(0))
+                    streams.hint_stream.clear()
+                    streams.hint_stream.append(len(hint))
+                    streams.hint_stream.extend(int(v) % P for v in hint)
+                elif disc == NativePhantom.HINT_FELT:
+                    if not streams.input_stream:
+                        raise ExecutionError("EndOfInputStream")
+                    hint = list(streams.input_stream.pop(0))
+                    streams.hint_stream.clear()
+                    streams.hint_stream.extend(int(v) % P for v in hint)
+                elif disc == NativePhantom.HINT_BITS:
+                    val = mem._get((4, a))[0]  # peek: no bus access
+                    streams.hint_stream.clear()
+                    for _i in range(b):
+                        streams.hint_stream.append(val & 1)
+                        val >>= 1
+                elif disc == NativePhantom.PRINT:
+                    w = mem._get(((c >> 16) or 4, a))
+                    print(f"[native print] {w[0]}")
                 _append(r, pc=pc, ts=ts, a=a, b=b, c=c)
                 pc, ts = pc + 4, ts + 1
 
