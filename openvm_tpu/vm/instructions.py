@@ -121,6 +121,16 @@ class Rv32HintStoreOpcode:
     HINT_BUFFER = 0x261
 
 
+class Rv32KeccakOpcode:
+    """keccak256 intrinsic (reference Rv32KeccakOpcode, offset 0x310)."""
+    KECCAK256 = 0x310
+
+
+class Rv32Sha256Opcode:
+    """sha256 intrinsic (reference Rv32Sha256Opcode, offset 0x320)."""
+    SHA256 = 0x320
+
+
 class BaseAlu256Opcode:
     """256-bit ALU (reference Rv32BaseAlu256Opcode, opcode_offset 0x400)."""
     ADD = 0x400

@@ -25,7 +25,8 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            Mul256Opcode, MulHOpcode, MulOpcode, P, Program,
                            PublishOpcode, Rv32AuipcOpcode,
                            Rv32HintStoreOpcode, Rv32JalLuiOpcode,
-                           Rv32JalrOpcode, Rv32LoadStoreOpcode, Rv32Phantom,
+                           Rv32JalrOpcode, Rv32KeccakOpcode,
+                           Rv32LoadStoreOpcode, Rv32Phantom,
                            Shift256Opcode, ShiftOpcode, SysPhantom,
                            SystemOpcode, VmExe)
 
@@ -454,6 +455,24 @@ class Interpreter:
                                          BranchLessThan256Opcode.BLTU
                                          ) else not lt
                 st.pc = (st.pc + off) & M32 if taken else (st.pc + 4) & M32
+            return h
+
+        # ---- keccak256 extension ----
+        if op == Rv32KeccakOpcode.KECCAK256:
+            def h(st, ra=ra, rb=rb, rc=rc):
+                from .circuit.keccak import keccak256
+                dst, src, ln = st.regs[ra], st.regs[rb], st.regs[rc]
+                if src % 4 or dst % 4:
+                    raise ExecutionError(
+                        f"unaligned keccak256 pointer src={src:#x} "
+                        f"dst={dst:#x} at pc {st.pc:#x}")
+                if src + ln >= (1 << 29) or dst + 32 >= (1 << 29):
+                    raise ExecutionError("keccak256 range out of bounds")
+                st.ensure_mem(src + ln, 1)
+                digest = keccak256(bytes(st.memory[src:src + ln]))
+                st.ensure_mem(dst, 32)
+                st.memory[dst:dst + 32] = digest
+                st.pc = (st.pc + 4) & M32
             return h
 
         # ---- modular arithmetic (algebra) extension ----

@@ -54,6 +54,8 @@ class Rv32Config:
     # enable the Int256 (bigint) extension chips (reference
     # extensions/bigint, SURVEY.md section 2.8)
     bigint: bool = False
+    # keccak256 extension (reference extensions/keccak256, SURVEY.md 2.6)
+    keccak: bool = False
     # modular-arithmetic (algebra) extension: one chip trio per modulus
     # (reference ModularExtension{supported_moduli}, SURVEY.md section 2.9)
     moduli: tuple = ()
@@ -93,10 +95,18 @@ def _register_int256():
     _EXECUTOR_AIRS.update(INT256_AIRS)
 
 
+def _register_keccak():
+    from .circuit.keccak import KECCAK_AIRS
+    _EXECUTOR_AIRS.update(KECCAK_AIRS)
+
+
 _register_int256()
+_register_keccak()
 
 INT256_EXECUTORS = ("int256_alu", "int256_lt", "int256_mul", "int256_beq",
                     "int256_blt", "int256_shift")
+
+KECCAK_EXECUTORS = ("keccak_sponge", "keccakf")
 
 NATIVE_EXECUTORS = ("native_field_arithmetic", "native_field_extension",
                     "native_branch_eq", "native_loadstore",
@@ -146,6 +156,9 @@ class VirtualMachine:
         executors = tuple(self.config.executors)
         if self.config.bigint:
             executors += tuple(n for n in INT256_EXECUTORS
+                               if n not in executors)
+        if self.config.keccak:
+            executors += tuple(n for n in KECCAK_EXECUTORS
                                if n not in executors)
         self.airs = system + [_EXECUTOR_AIRS[name]() for name in executors]
         if self.config.moduli:

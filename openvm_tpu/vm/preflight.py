@@ -30,7 +30,7 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            NativeLoadStoreOpcode, NativePhantom,
                            NativeRangeCheckOpcode, P, Poseidon2Opcode,
                            Rv32AuipcOpcode, Rv32HintStoreOpcode,
-                           Rv32JalLuiOpcode, Rv32JalrOpcode,
+                           Rv32JalLuiOpcode, Rv32JalrOpcode, Rv32KeccakOpcode,
                            Rv32LoadStoreOpcode, Rv32Phantom, Shift256Opcode,
                            ShiftOpcode, SystemOpcode, VmExe)
 from .interpreter import ExecutionError, Streams, _imm16, _imm24, _s32, _sx
@@ -949,6 +949,75 @@ class PreflightInterpreter:
                         inp=inp, out=out, pts_r=pts_r, pts_w=pts_w,
                         prev_w=prev_w)
                 pc, ts = pc + 4, ts + 32
+
+            elif op == Rv32KeccakOpcode.KECCAK256:
+                from .circuit.keccak import (RATE_BYTES, RATE_WORDS,
+                                             TS_PER_BLOCK, keccak_f)
+                r = recs["keccak_sponge"]
+                rf = recs["keccakf"]
+                a_idx, b_idx, c_idx = a // 4, b // 4, c // 4
+                dstp, p_rd = reg_read(a_idx, 0)
+                srcp, p_rs = reg_read(b_idx, 1)
+                lenp, p_rl = reg_read(c_idx, 2)
+                dst = _from_limbs(dstp)
+                src = _from_limbs(srcp)
+                ln = _from_limbs(lenp)
+                if src % 4 or dst % 4:
+                    raise ExecutionError(
+                        f"unaligned keccak256 pointer src={src:#x} "
+                        f"dst={dst:#x} at pc {pc:#x}")
+                if src + ln >= (1 << 29) or dst + 32 >= (1 << 29):
+                    raise ExecutionError(
+                        f"keccak256 range out of bounds at pc {pc:#x}")
+                nblocks = ln // RATE_BYTES + 1
+                lanes = [0] * 25
+                for bi in range(nblocks):
+                    ts_b = ts + TS_PER_BLOCK * bi
+                    is_first = int(bi == 0)
+                    is_last = int(bi == nblocks - 1)
+                    rem = ln - RATE_BYTES * bi
+                    real = min(rem, RATE_BYTES)
+                    pad_start = real if is_last else RATE_BYTES
+                    src_cur = src + RATE_BYTES * bi
+                    mem_bytes = [0] * RATE_BYTES
+                    pts_w = [0] * RATE_WORDS
+                    for w in range((real + 3) // 4):
+                        data_w, pw = mem.read(2, src_cur // 4 + w,
+                                              ts_b + 3 + w)
+                        mem_bytes[4 * w:4 * w + 4] = data_w
+                        pts_w[w] = pw
+                    block = bytearray(mem_bytes[:real])
+                    block += bytearray(RATE_BYTES - real)
+                    if is_last:
+                        block[real] ^= 0x01
+                        block[RATE_BYTES - 1] ^= 0x80
+                    state_in = list(lanes)
+                    for i in range(RATE_BYTES // 8):
+                        lanes[i] ^= int.from_bytes(
+                            block[8 * i:8 * i + 8], "little")
+                    absorbed = list(lanes)
+                    lanes = keccak_f(lanes)
+                    prevw = [[0] * 4 for _ in range(8)]
+                    pts_wr = [0] * 8
+                    if is_last:
+                        digest = b"".join(lanes[i].to_bytes(8, "little")
+                                          for i in range(4))
+                        for w in range(8):
+                            word = list(digest[4 * w:4 * w + 4])
+                            pv_, pz = mem.write(2, dst // 4 + w, word,
+                                                ts_b + 3 + RATE_WORDS + w)
+                            prevw[w], pts_wr[w] = pv_, pz
+                    _append(r, pc=pc, ts=ts_b, is_first=is_first,
+                            is_last=is_last, a_idx=a_idx, b_idx=b_idx,
+                            c_idx=c_idx, dstp=dstp, srcp=srcp, lenp=lenp,
+                            pts_regs=[p_rd, p_rs, p_rl]
+                            if is_first else [0, 0, 0],
+                            src_cur=src_cur, rem=rem, mem_bytes=mem_bytes,
+                            pad_start=pad_start, pts_w=pts_w,
+                            state_in=state_in, state_out=lanes,
+                            prevw=prevw, pts_wr=pts_wr)
+                    _append(rf, state_in=absorbed)
+                pc, ts = pc + 4, ts + TS_PER_BLOCK * nblocks
 
             elif op == SystemOpcode.PHANTOM:
                 r = recs["phantom"]

@@ -19,7 +19,8 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            MulHOpcode, MulOpcode, P, Program,
                            Rv32AuipcOpcode, Rv32HintStoreOpcode,
                            Rv32JalLuiOpcode, Rv32JalrOpcode,
-                           Rv32LoadStoreOpcode, Rv32Phantom, Shift256Opcode,
+                           Rv32KeccakOpcode, Rv32LoadStoreOpcode,
+                           Rv32Phantom, Shift256Opcode,
                            ShiftOpcode, SystemOpcode, VmExe, nop, phantom,
                            unimp)
 
@@ -300,6 +301,26 @@ class Rv32IoTranspilerExtension:
         return None
 
 
+KECCAK_SHA_FUNCT3 = 0b100
+
+
+class Keccak256TranspilerExtension:
+    """keccak256 intrinsic on custom-0 funct3=0b100 funct7=0 (reference
+    extensions/keccak256/transpiler/src/lib.rs + guest/src/lib.rs)."""
+
+    def process_custom(self, stream):
+        if not stream:
+            return None
+        w = stream[0]
+        if (w & 0x7F) != OP_CUSTOM0:
+            return None
+        d = decode(w)
+        if d.funct3 != KECCAK_SHA_FUNCT3 or d.funct7 != 0:
+            return None
+        return one(Instruction(Rv32KeccakOpcode.KECCAK256, a=4 * d.rd,
+                               b=4 * d.rs1, c=4 * d.rs2, d=1, e=2))
+
+
 INT256_FUNCT3 = 0b101
 BEQ256_FUNCT3 = 0b110
 
@@ -460,7 +481,8 @@ class Transpiler:
                                          Int256TranspilerExtension(),
                                          ModularTranspilerExtension(),
                                          EccTranspilerExtension(),
-                                         Fp2TranspilerExtension()]
+                                         Fp2TranspilerExtension(),
+                                         Keccak256TranspilerExtension()]
 
     def transpile(self, words: list) -> list:
         out: list = []
