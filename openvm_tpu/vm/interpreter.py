@@ -26,6 +26,7 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            PublishOpcode, Rv32AuipcOpcode,
                            Rv32HintStoreOpcode, Rv32JalLuiOpcode,
                            Rv32JalrOpcode, Rv32KeccakOpcode,
+                           Rv32Sha256Opcode,
                            Rv32LoadStoreOpcode, Rv32Phantom,
                            Shift256Opcode, ShiftOpcode, SysPhantom,
                            SystemOpcode, VmExe)
@@ -470,6 +471,24 @@ class Interpreter:
                     raise ExecutionError("keccak256 range out of bounds")
                 st.ensure_mem(src + ln, 1)
                 digest = keccak256(bytes(st.memory[src:src + ln]))
+                st.ensure_mem(dst, 32)
+                st.memory[dst:dst + 32] = digest
+                st.pc = (st.pc + 4) & M32
+            return h
+
+        # ---- sha256 extension ----
+        if op == Rv32Sha256Opcode.SHA256:
+            def h(st, ra=ra, rb=rb, rc=rc):
+                from .circuit.sha256 import sha256
+                dst, src, ln = st.regs[ra], st.regs[rb], st.regs[rc]
+                if src % 4 or dst % 4:
+                    raise ExecutionError(
+                        f"unaligned sha256 pointer src={src:#x} "
+                        f"dst={dst:#x} at pc {st.pc:#x}")
+                if src + ln >= (1 << 29) or dst + 32 >= (1 << 29):
+                    raise ExecutionError("sha256 range out of bounds")
+                st.ensure_mem(src + ln, 1)
+                digest = sha256(bytes(st.memory[src:src + ln]))
                 st.ensure_mem(dst, 32)
                 st.memory[dst:dst + 32] = digest
                 st.pc = (st.pc + 4) & M32

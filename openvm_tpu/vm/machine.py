@@ -56,6 +56,8 @@ class Rv32Config:
     bigint: bool = False
     # keccak256 extension (reference extensions/keccak256, SURVEY.md 2.6)
     keccak: bool = False
+    # sha256 extension (reference extensions/sha256, SURVEY.md 2.7)
+    sha256: bool = False
     # modular-arithmetic (algebra) extension: one chip trio per modulus
     # (reference ModularExtension{supported_moduli}, SURVEY.md section 2.9)
     moduli: tuple = ()
@@ -98,6 +100,8 @@ def _register_int256():
 def _register_keccak():
     from .circuit.keccak import KECCAK_AIRS
     _EXECUTOR_AIRS.update(KECCAK_AIRS)
+    from .circuit.sha256 import SHA256_AIRS
+    _EXECUTOR_AIRS.update(SHA256_AIRS)
 
 
 _register_int256()
@@ -107,6 +111,8 @@ INT256_EXECUTORS = ("int256_alu", "int256_lt", "int256_mul", "int256_beq",
                     "int256_blt", "int256_shift")
 
 KECCAK_EXECUTORS = ("keccak_sponge", "keccakf")
+
+SHA256_EXECUTORS = ("sha256_sponge", "sha256")
 
 NATIVE_EXECUTORS = ("native_field_arithmetic", "native_field_extension",
                     "native_branch_eq", "native_loadstore",
@@ -159,6 +165,9 @@ class VirtualMachine:
                                if n not in executors)
         if self.config.keccak:
             executors += tuple(n for n in KECCAK_EXECUTORS
+                               if n not in executors)
+        if self.config.sha256:
+            executors += tuple(n for n in SHA256_EXECUTORS
                                if n not in executors)
         self.airs = system + [_EXECUTOR_AIRS[name]() for name in executors]
         if self.config.moduli:

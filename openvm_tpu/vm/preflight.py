@@ -31,6 +31,7 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            NativeRangeCheckOpcode, P, Poseidon2Opcode,
                            Rv32AuipcOpcode, Rv32HintStoreOpcode,
                            Rv32JalLuiOpcode, Rv32JalrOpcode, Rv32KeccakOpcode,
+                           Rv32Sha256Opcode,
                            Rv32LoadStoreOpcode, Rv32Phantom, Shift256Opcode,
                            ShiftOpcode, SystemOpcode, VmExe)
 from .interpreter import ExecutionError, Streams, _imm16, _imm24, _s32, _sx
@@ -1018,6 +1019,81 @@ class PreflightInterpreter:
                             prevw=prevw, pts_wr=pts_wr)
                     _append(rf, state_in=absorbed)
                 pc, ts = pc + 4, ts + TS_PER_BLOCK * nblocks
+
+            elif op == Rv32Sha256Opcode.SHA256:
+                from .circuit.sha256 import (BLOCK_BYTES as SB,
+                                             BLOCK_WORDS as SW, H0,
+                                             TS_PER_BLOCK as STS,
+                                             sha_compress)
+                r = recs["sha256_sponge"]
+                rf = recs["sha256"]
+                a_idx, b_idx, c_idx = a // 4, b // 4, c // 4
+                dstp, p_rd = reg_read(a_idx, 0)
+                srcp, p_rs = reg_read(b_idx, 1)
+                lenp, p_rl = reg_read(c_idx, 2)
+                dst = _from_limbs(dstp)
+                src = _from_limbs(srcp)
+                ln = _from_limbs(lenp)
+                if src % 4 or dst % 4:
+                    raise ExecutionError(
+                        f"unaligned sha256 pointer src={src:#x} "
+                        f"dst={dst:#x} at pc {pc:#x}")
+                if src + ln >= (1 << 29) or dst + 32 >= (1 << 29):
+                    raise ExecutionError(
+                        f"sha256 range out of bounds at pc {pc:#x}")
+                nblocks = (ln + 9 + SB - 1) // SB
+                state = list(H0)
+                pad80_done = False
+                for bi in range(nblocks):
+                    ts_b = ts + STS * bi
+                    is_first = int(bi == 0)
+                    is_last = int(bi == nblocks - 1)
+                    rem = max(ln - SB * bi, 0)
+                    real = min(rem, SB)
+                    is_c = int(not is_last and 56 <= rem <= 63)
+                    p80 = int(pad80_done and is_last)
+                    src_cur = src + SB * bi
+                    mem_bytes = [0] * SB
+                    pts_w = [0] * SW
+                    for w in range((real + 3) // 4):
+                        data_w, pw = mem.read(2, src_cur // 4 + w,
+                                              ts_b + 3 + w)
+                        mem_bytes[4 * w:4 * w + 4] = data_w
+                        pts_w[w] = pw
+                    block = bytearray(mem_bytes[:real])
+                    block += bytearray(SB - real)
+                    if real < SB and not pad80_done:
+                        block[real] = 0x80
+                        pad80_done = True
+                    if is_last:
+                        block[SB - 8:] = (8 * ln).to_bytes(8, "big")
+                    words = [int.from_bytes(block[4 * i:4 * i + 4], "big")
+                             for i in range(SW)]
+                    state_in = list(state)
+                    state, _, _ = sha_compress(state, words)
+                    prevw = [[0] * 4 for _ in range(8)]
+                    pts_wr = [0] * 8
+                    if is_last:
+                        digest = b"".join(v_.to_bytes(4, "big")
+                                          for v_ in state)
+                        for w in range(8):
+                            word = list(digest[4 * w:4 * w + 4])
+                            pv_, pz = mem.write(2, dst // 4 + w, word,
+                                                ts_b + 3 + SW + w)
+                            prevw[w], pts_wr[w] = pv_, pz
+                    _append(r, pc=pc, ts=ts_b, is_first=is_first,
+                            is_last=is_last, is_c=is_c, pad80prev=p80,
+                            a_idx=a_idx, b_idx=b_idx, c_idx=c_idx,
+                            dstp=dstp, srcp=srcp, lenp=lenp,
+                            pts_regs=[p_rd, p_rs, p_rl]
+                            if is_first else [0, 0, 0],
+                            src_cur=src_cur, rem=rem, total_len=ln,
+                            mem_bytes=mem_bytes,
+                            block_bytes=list(block), pad_start=real,
+                            pts_w=pts_w, state_in=state_in,
+                            state_out=state, prevw=prevw, pts_wr=pts_wr)
+                    _append(rf, state=state_in, words=words)
+                pc, ts = pc + 4, ts + STS * nblocks
 
             elif op == SystemOpcode.PHANTOM:
                 r = recs["phantom"]

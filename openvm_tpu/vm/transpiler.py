@@ -20,6 +20,7 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            Rv32AuipcOpcode, Rv32HintStoreOpcode,
                            Rv32JalLuiOpcode, Rv32JalrOpcode,
                            Rv32KeccakOpcode, Rv32LoadStoreOpcode,
+                           Rv32Sha256Opcode,
                            Rv32Phantom, Shift256Opcode,
                            ShiftOpcode, SystemOpcode, VmExe, nop, phantom,
                            unimp)
@@ -315,10 +316,16 @@ class Keccak256TranspilerExtension:
         if (w & 0x7F) != OP_CUSTOM0:
             return None
         d = decode(w)
-        if d.funct3 != KECCAK_SHA_FUNCT3 or d.funct7 != 0:
+        if d.funct3 != KECCAK_SHA_FUNCT3:
             return None
-        return one(Instruction(Rv32KeccakOpcode.KECCAK256, a=4 * d.rd,
-                               b=4 * d.rs1, c=4 * d.rs2, d=1, e=2))
+        if d.funct7 == 0:
+            opc = Rv32KeccakOpcode.KECCAK256
+        elif d.funct7 == 1:
+            opc = Rv32Sha256Opcode.SHA256
+        else:
+            return None
+        return one(Instruction(opc, a=4 * d.rd, b=4 * d.rs1,
+                               c=4 * d.rs2, d=1, e=2))
 
 
 INT256_FUNCT3 = 0b101
