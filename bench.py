@@ -1,12 +1,18 @@
-"""Benchmark: STARK trace-commitment throughput on the available accelerator.
+"""Benchmark: full VM proof throughput (+ trace-commit microbench).
 
-Measures the prover's dominant device kernel — coset LDE (blowup 2) +
-Poseidon2-Merkle commitment — in trace cells/second, the per-chip figure of
-merit from BASELINE.md ("proofs/sec and trace cells/sec/chip").
+Default mode proves a hand-assembled RV32IM fibonacci guest end-to-end on
+the default accelerator — metered/preflight execution, 15-AIR tracegen,
+multi-trace STARK (commit, LogUp, quotient, FRI) with the production FRI
+config — and reports proved instructions/second, the reference's
+total_proof_time_ms figure of merit normalized by workload
+(docs/crates/metrics.md).  vs_baseline compares against this host's CPU
+running the identical pipeline at BENCH_VM_CPU_N iterations (the reference
+publishes no absolute numbers; BASELINE.json.published={}).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline compares against this host's CPU running the identical pipeline
-(the reference has no published absolute numbers; BASELINE.json.published={}).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+BENCH_MODE=commit switches to the round-1 trace-commit microbench
+(coset LDE + Poseidon2-Merkle commit, cells/s).
 """
 
 import json
@@ -18,20 +24,14 @@ import time
 LOG_N = int(os.environ.get("BENCH_LOG_N", "14"))
 WIDTH = int(os.environ.get("BENCH_WIDTH", "64"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
+VM_N = int(os.environ.get("BENCH_VM_N", "20000"))
+VM_CPU_N = int(os.environ.get("BENCH_VM_CPU_N", "2500"))
 
 
-def run_bench() -> float:
+def run_commit_bench() -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
-
-    # Persist compiled executables across invocations — but only for the
-    # accelerator backend: XLA:CPU AOT blobs mis-deserialize on this host
-    # (machine-feature mismatch) and the reloaded code can spin forever.
-    if jax.default_backend() != "cpu":
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/openvm_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from openvm_tpu import merkle, ntt
     from openvm_tpu.field import babybear as bb
@@ -58,66 +58,88 @@ def run_bench() -> float:
     return n * WIDTH / dt
 
 
-def run_vm_prove_bench() -> dict:
-    """Opt-in (BENCH_MODE=vm_prove): full VM proof of a fibonacci program.
-
-    Proves a hand-assembled RV32IM fibonacci loop end-to-end (preflight ->
-    tracegen -> 15-AIR STARK) on the default accelerator and reports
-    proved insns/sec.
-    """
-    import sys
+def run_vm_prove(n_iters: int) -> dict:
+    """Full proof of the fibonacci guest; returns timing breakdown."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tests.test_vm_prove import build_fib_program, FIB_EXECUTORS
-    from openvm_tpu.stark import FriParameters, StarkConfig
+    from tests.test_vm_prove import FIB_EXECUTORS, build_fib_program
     from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
 
-    n_iters = int(os.environ.get("BENCH_VM_N", "2000"))
     exe = build_fib_program(n_iters)
-    stark = StarkConfig(fri=FriParameters(log_blowup=1, num_queries=33,
-                                          proof_of_work_bits=16))
-    vm = VirtualMachine(Rv32Config(stark=stark, executors=FIB_EXECUTORS))
+    vm = VirtualMachine(Rv32Config(executors=FIB_EXECUTORS))
+    t0 = time.time()
     vm.keygen()
+    t_keygen = time.time() - t0
+    # one warm-up proof compiles every prover kernel for this shape; the
+    # measured proof is the steady-state cost (the reference's benches
+    # similarly exclude one-time artifact generation via `cargo openvm
+    # setup`)
+    proof, pre = vm.prove(exe)
     t0 = time.time()
     proof, pre = vm.prove(exe)
-    dt = time.time() - t0
+    t_prove = time.time() - t0
     vm.verify(proof)
-    return {"metric": "vm_proved_insns_per_sec",
-            "value": round(pre.instret / dt, 1), "unit": "insn/s",
-            "vs_baseline": 1.0}
+    cells = sum((1 << p.log_degree)
+                * (vm.airs[p.air_id].width
+                   + sum(vm.airs[p.air_id].cached_main_widths))
+                for p in proof.per_air)
+    return {"insns": pre.instret, "prove_s": t_prove, "keygen_s": t_keygen,
+            "insn_per_s": pre.instret / t_prove,
+            "cells": cells, "cells_per_s": cells / t_prove}
 
 
 def main():
-    if os.environ.get("BENCH_MODE") == "vm_prove":
-        print(json.dumps(run_vm_prove_bench()))
+    mode = os.environ.get("BENCH_MODE", "vm_prove")
+    if mode == "commit":
+        if os.environ.get("BENCH_BACKEND") == "cpu":
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            print(json.dumps({"cells_per_sec": run_commit_bench()}))
+            return
+        tpu_cells = run_commit_bench()
+        cpu_cells = None
+        try:
+            env = dict(os.environ, BENCH_BACKEND="cpu", BENCH_MODE="commit",
+                       BENCH_LOG_N=str(max(LOG_N - 2, 10)))
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True, timeout=900)
+            for line in out.stdout.splitlines():
+                if line.strip().startswith("{"):
+                    cpu_cells = json.loads(line)["cells_per_sec"]
+        except Exception:
+            pass
+        print(json.dumps({
+            "metric": "trace_commit_throughput",
+            "value": round(tpu_cells, 1), "unit": "cells/s",
+            "vs_baseline": round(tpu_cells / cpu_cells, 3)
+            if cpu_cells else 1.0}))
         return
-    if os.environ.get("BENCH_BACKEND") == "cpu":
+
+    if mode == "vm_prove_cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
-        print(json.dumps({"cells_per_sec": run_bench()}))
+        print(json.dumps(run_vm_prove(VM_CPU_N)))
         return
 
-    tpu_cells = run_bench()
-
-    cpu_cells = None
+    res = run_vm_prove(VM_N)
+    cpu_rate = None
     try:
-        env = dict(os.environ, BENCH_BACKEND="cpu",
-                   BENCH_LOG_N=str(max(LOG_N - 2, 10)))
+        env = dict(os.environ, BENCH_MODE="vm_prove_cpu")
         out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, timeout=600)
+                             capture_output=True, text=True, timeout=1800)
         for line in out.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                cpu_cells = json.loads(line)["cells_per_sec"]
+            if line.strip().startswith("{"):
+                cpu_rate = json.loads(line)["insn_per_s"]
     except Exception:
         pass
-
-    vs = tpu_cells / cpu_cells if cpu_cells else 1.0
     print(json.dumps({
-        "metric": "trace_commit_throughput",
-        "value": round(tpu_cells, 1),
-        "unit": "cells/s",
-        "vs_baseline": round(vs, 3),
-    }))
+        "metric": "vm_full_proof_throughput",
+        "value": round(res["insn_per_s"], 1),
+        "unit": "insn/s",
+        "vs_baseline": round(res["insn_per_s"] / cpu_rate, 3)
+        if cpu_rate else 1.0,
+        "insns": res["insns"],
+        "proof_time_s": round(res["prove_s"], 2),
+        "trace_cells_per_s": round(res["cells_per_s"], 1)}))
 
 
 if __name__ == "__main__":

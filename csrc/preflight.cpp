@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <memory>
 
 namespace {
 
@@ -55,41 +56,73 @@ struct PreflightOut {
 inline int32_t sx32(uint32_t v) { return static_cast<int32_t>(v); }
 
 struct Memory {
-  // word-granular: value + last ts + initial value; touched tracked in order
-  std::vector<uint32_t> val, ts, init;
-  std::vector<uint8_t> touched;
+  // word-granular: value + last ts + initial value; touched tracked in
+  // order.  Pages allocated on demand: a flat 2^27-word address space
+  // zero-filled per call cost ~2s/preflight regardless of program size.
+  static constexpr uint32_t PB = 16;
+  static constexpr uint32_t PSZ = 1u << PB;
+  static constexpr uint32_t PMASK = PSZ - 1;
+  struct Page {
+    uint32_t val[PSZ];
+    uint32_t ts[PSZ];
+    uint32_t init[PSZ];
+    uint8_t touched[PSZ];
+  };
+  std::vector<std::unique_ptr<Page>> pages;
   std::vector<int64_t>* touch_order;
   int64_t base_key;  // (as << 27)
 
   void setup(size_t words, int64_t key, std::vector<int64_t>* order) {
-    val.assign(words, 0);
-    ts.assign(words, 0);
-    init.assign(words, 0);
-    touched.assign(words, 0);
+    pages.clear();
+    pages.resize((words + PSZ - 1) / PSZ);
     base_key = key;
     touch_order = order;
   }
-  inline void touch(uint32_t wa) {
-    if (!touched[wa]) {
-      touched[wa] = 1;
-      init[wa] = val[wa];
+  inline Page& pg(uint32_t wa) {
+    auto& p = pages[wa >> PB];
+    if (!p) p.reset(new Page());
+    return *p;
+  }
+  inline void touch(Page& p, uint32_t wa, uint32_t off) {
+    if (!p.touched[off]) {
+      p.touched[off] = 1;
+      p.init[off] = p.val[off];
       touch_order->push_back(base_key | wa);
     }
   }
   inline uint32_t read(uint32_t wa, uint32_t now, uint32_t* prev_ts) {
-    touch(wa);
-    *prev_ts = ts[wa];
-    ts[wa] = now;
-    return val[wa];
+    Page& p = pg(wa);
+    uint32_t off = wa & PMASK;
+    touch(p, wa, off);
+    *prev_ts = p.ts[off];
+    p.ts[off] = now;
+    return p.val[off];
   }
   inline uint32_t write(uint32_t wa, uint32_t v, uint32_t now,
                         uint32_t* prev_ts) {
-    touch(wa);
-    *prev_ts = ts[wa];
-    uint32_t prev = val[wa];
-    val[wa] = v;
-    ts[wa] = now;
+    Page& p = pg(wa);
+    uint32_t off = wa & PMASK;
+    touch(p, wa, off);
+    *prev_ts = p.ts[off];
+    uint32_t prev = p.val[off];
+    p.val[off] = v;
+    p.ts[off] = now;
     return prev;
+  }
+  inline uint32_t peek_val(uint32_t wa) {
+    Page& p = pg(wa);
+    return p.val[wa & PMASK];
+  }
+  inline uint32_t peek_init(uint32_t wa) {
+    Page& p = pg(wa);
+    return p.init[wa & PMASK];
+  }
+  inline uint32_t peek_ts(uint32_t wa) {
+    Page& p = pg(wa);
+    return p.ts[wa & PMASK];
+  }
+  inline void poke_val(uint32_t wa, uint32_t v) {
+    pg(wa).val[wa & PMASK] = v;
   }
 };
 
@@ -139,7 +172,8 @@ PreflightOut preflight(
   mem.setup(1ull << 27, 2ll << 27, &touch_order);
   pvs.setup(64, 3ll << 27, &touch_order);
   for (int64_t i = 0; i < n_image; i++) {
-    mem.val[image_words[i]] = static_cast<uint32_t>(image_vals[i]);
+    mem.poke_val(static_cast<uint32_t>(image_words[i]),
+                 static_cast<uint32_t>(image_vals[i]));
   }
 
   Rec recs[NUM_CHIPS];
@@ -401,7 +435,7 @@ PreflightOut preflight(
         if ((e == 2 && wa >= (1u << 27)) || (e == 3 && wa >= 8)) {
           res.error = 1; break;
         }
-        uint32_t cur = m->val[wa];
+        uint32_t cur = m->peek_val(wa);
         uint8_t nb[4];
         std::memcpy(nb, &cur, 4);
         const uint8_t* vb = reinterpret_cast<const uint8_t*>(&data2);
@@ -496,9 +530,9 @@ done:
     int64_t* row = touched_out + nt * 11;
     row[0] = a_s;
     row[1] = wa;
-    put_limbs(row + 2, m->init[wa]);
-    put_limbs(row + 6, m->val[wa]);
-    row[10] = m->ts[wa];
+    put_limbs(row + 2, m->peek_init(wa));
+    put_limbs(row + 6, m->peek_val(wa));
+    row[10] = m->peek_ts(wa);
     nt++;
   }
   res.n_touched = nt;

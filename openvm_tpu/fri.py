@@ -152,6 +152,26 @@ def answer_query(index: int, trees: list, evals_per_step: list) -> list:
     return steps
 
 
+def answer_queries_batch(indices, trees: list, evals_per_step: list):
+    """answer_query for several indices with batched device gathers.
+
+    Returns steps_per_query[qi] = [CommitPhaseStep per fold level]."""
+    import jax.numpy as jnp
+    q = len(indices)
+    idx_arr = np.asarray(indices, dtype=np.int64)
+    per_level = []
+    for i, (tree, evals) in enumerate(zip(trees, evals_per_step)):
+        lvl = idx_arr >> i
+        sibs = np.asarray(bb.from_monty(evals[jnp.asarray(lvl ^ 1)]),
+                          dtype=np.uint64)          # (q, 4)
+        proofs = merkle.open_rows_batch(tree, list(lvl >> 1))
+        per_level.append((sibs, proofs))
+    return [[CommitPhaseStep(
+        sibling_value=tuple(int(x) for x in per_level[i][0][qi]),
+        opening_proof=per_level[i][1][qi][1])
+        for i in range(len(trees))] for qi in range(q)]
+
+
 # ---------------------------------------------------------------------------
 # Host-side verification helpers (canonical ints)
 # ---------------------------------------------------------------------------

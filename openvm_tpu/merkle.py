@@ -112,6 +112,46 @@ def open_row(tree: MerkleTree, index: int):
     return opened, proof
 
 
+def open_rows_batch(tree: MerkleTree, indices):
+    """Open all matrices + paths at several indices with one device
+    gather + host transfer per matrix/layer (``open_row`` per query costs
+    a device round-trip per matrix AND per path layer — the FRI query
+    phase's dominant cost at production query counts).
+
+    Returns [(opened_rows, proof)] in ``indices`` order, formats matching
+    ``open_row``."""
+    import jax.numpy as jnp
+    from .field import babybear as bb
+    max_h = tree.max_height()
+    log_max = max_h.bit_length() - 1
+    q = len(indices)
+    idx_arr = np.asarray(indices, dtype=np.int64)
+
+    mat_rows = []
+    for m in tree.matrices:
+        h = int(m.shape[0])
+        log_h = h.bit_length() - 1
+        rows = np.asarray(
+            bb.from_monty(m[jnp.asarray(idx_arr >> (log_max - log_h))]),
+            dtype=np.uint64)                       # (q, w)
+        mat_rows.append(rows)
+
+    layer_sibs = []
+    idxs = idx_arr.copy()
+    for layer in tree.digest_layers[:-1]:
+        sibs = np.asarray(bb.from_monty(layer[jnp.asarray(idxs ^ 1)]),
+                          dtype=np.uint64)         # (q, 8)
+        layer_sibs.append(sibs)
+        idxs >>= 1
+
+    out = []
+    for k in range(q):
+        opened = [rows[k] for rows in mat_rows]
+        proof = [sibs[k] for sibs in layer_sibs]
+        out.append((opened, proof))
+    return out
+
+
 def verify_batch(root: np.ndarray, dims, index: int, opened_rows, proof) -> bool:
     """Host-side verification of an opened batch (canonical uint64 arrays).
 

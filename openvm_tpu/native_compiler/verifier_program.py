@@ -213,17 +213,14 @@ def _promote(b: Builder, f) -> Ext:
 # ---------------------------------------------------------------------------
 
 
-def build_verifier_program(vk, log_degrees: list, num_native_pvs: int = 32,
-                           expose: str = "vm",
-                           expose_memory_pvs: bool = False):
-    """Generate the native program verifying proofs of the given shape.
+def _emit_verify(b: Builder, vk, log_degrees: list):
+    """Emit the full STARK verification of one proof into `b`.
 
-    Returns (exe, meta).  `machine.prove` the exe on a NativeConfig VM with
-    inputs=serialize_proof_felts(vk, proof).
-
-    expose: "vm" exposes the app program commit + connector (+ merkle) pvs
-    (leaf-verifier shape); "commit" exposes only the common-main commit
-    (generic proofs without VM system AIRs, e.g. recursion unit tests).
+    The proof is consumed from the hint stream in serialize_proof_felts
+    order.  Returns {"main_commits": [FeltArray(8)], "pvs": [FeltArray]}
+    handles for the caller (pv chaining / exposure).  Reaching the emitted
+    code's end means the proof verified; any check failure branches to the
+    program's shared fail block.
     """
     cfg = vk.config
     lb = cfg.fri.log_blowup
@@ -241,7 +238,6 @@ def build_verifier_program(vk, log_degrees: list, num_native_pvs: int = 32,
                     for i in range(n_airs))
         assert total < c.threshold, "trace height constraint violated"
 
-    b = Builder()
     ch = ProgramChallenger(b)
     sponge = _Sponge(b)
 
@@ -634,7 +630,27 @@ def build_verifier_program(vk, log_degrees: list, num_native_pvs: int = 32,
             for k in range(4):
                 b.assert_eq(folded_c.felt(k), quotient.felt(k))
 
-    # ---- expose public values (leaf wrapper role) ----------------------
+    return {"main_commits": main_commits, "pvs": pvs,
+            "num_cached": num_cached}
+
+
+def build_verifier_program(vk, log_degrees: list, num_native_pvs: int = 32,
+                           expose: str = "vm",
+                           expose_memory_pvs: bool = False):
+    """Generate the native program verifying ONE proof of the given shape.
+
+    Returns (exe, meta).  `machine.prove` the exe on a NativeConfig VM with
+    inputs=serialize_proof_felts(vk, proof).
+
+    expose: "vm" exposes the app program commit + connector (+ merkle) pvs
+    (leaf-verifier shape, reference
+    crates/continuations/src/verifier/leaf/mod.rs VmVerifierPvs); "commit"
+    exposes only the common-main commit (generic proofs without VM system
+    AIRs, e.g. recursion unit tests).
+    """
+    b = Builder()
+    res = _emit_verify(b, vk, log_degrees)
+    main_commits, pvs = res["main_commits"], res["pvs"]
     if expose == "vm":
         # pv[0..8] = first cached-main commit (the app program commitment)
         for k in range(8):
@@ -649,9 +665,178 @@ def build_verifier_program(vk, log_degrees: list, num_native_pvs: int = 32,
                 b.public_value(pvs[3].felt(k), 12 + k)
     else:
         for k in range(8):
-            b.public_value(main_commits[num_cached].felt(k), k)
+            b.public_value(main_commits[res["num_cached"]].felt(k), k)
     b.halt(0)
 
     exe = b.compile()
     meta = {"num_insns": len(exe.program.instructions)}
     return exe, meta
+
+
+def build_leaf_program(app_vk, log_degrees: list,
+                       expose_memory_pvs: bool = True):
+    """Leaf verifier: verifies one app segment proof and exposes
+    (app program commit, connector pvs, memory-merkle pvs) — reference
+    LeafVmVerifierConfig::build_program with num_children_leaf = 1."""
+    return build_verifier_program(app_vk, log_degrees, expose="vm",
+                                  expose_memory_pvs=expose_memory_pvs)
+
+
+def build_internal_program(node_vk, log_degrees: list, num_children: int):
+    """Internal aggregation node: verifies `num_children` native-VM proofs
+    of identical shape (the fixed aggregation height profile), checks they
+    chain, and re-exposes merged pvs (reference InternalVmVerifier,
+    crates/continuations/src/verifier/internal/).
+
+    Child pv layout (native-VM proofs with num_native_pvs=44;
+    native_public_values is air index 2):
+      [0..8]   app program commit      [8..12]  connector pvs
+      [12..28] memory merkle pvs       [28..36] self program commit
+      [36..44] leaf program commit
+    A leaf proof exposes zeros at [28..44].
+
+    Chain of trust (reference InternalVmVerifierPvs.self_program_commit):
+    this program hints its OWN commitment (self_commit) and the leaf
+    program's commitment (leaf_commit) and exposes both.  For each child
+    with actual program commitment cc (bound by verification):
+      * cc == self_commit  (child is internal): child must expose the SAME
+        (self_commit, leaf_commit) pair;
+      * otherwise (child is a leaf): cc must equal leaf_commit and the
+        child's [28..44] must be zero.
+    The final verifier pins (self_commit, leaf_commit) of the root proof
+    to the expected compiled-program commitments, closing the chain at
+    every depth.
+    """
+    b = Builder()
+    self_commit = b.read_vec(8)
+    leaf_commit = b.read_vec(8)
+    merged = None
+    for child in range(num_children):
+        res = _emit_verify(b, node_vk, log_degrees)
+        child_pvs = res["pvs"][2]
+        cc = res["main_commits"][0]
+
+        # classify child: internal iff cc == self_commit
+        leaf_path, done = b.label(), b.label()
+        scratch = b.felt()
+        b.mov(0, scratch)
+        for k in range(8):
+            neq = b.label()
+            b.branch_eq(cc.felt(k), self_commit.felt(k), neq)
+            b.mov(1, scratch)
+            b.place(neq)
+        b.branch_ne(scratch, 0, leaf_path)
+        # internal child: must expose the same commit pair
+        for k in range(8):
+            b.assert_eq(child_pvs.felt(28 + k), self_commit.felt(k))
+            b.assert_eq(child_pvs.felt(36 + k), leaf_commit.felt(k))
+        b.jump(done)
+        b.place(leaf_path)
+        # leaf child: program must be THE leaf program, sentinel pvs zero
+        for k in range(8):
+            b.assert_eq(cc.felt(k), leaf_commit.felt(k))
+            b.assert_eq(child_pvs.felt(28 + k), 0)
+            b.assert_eq(child_pvs.felt(36 + k), 0)
+        b.place(done)
+
+        if merged is None:
+            merged = b.array(28)
+            prev_raw = b.array(28)
+            for k in range(28):
+                b.mov(child_pvs.felt(k), merged.felt(k))
+                b.mov(child_pvs.felt(k), prev_raw.felt(k))
+        else:
+            # duplicate-last padding: a child identical to the previous one
+            # (all 28 pvs) is a no-op — the tree pads short groups by
+            # repeating the final proof, which adds no claims
+            same = b.felt()
+            b.mov(0, same)
+            for k in range(28):
+                eqk = b.label()
+                b.branch_eq(child_pvs.felt(k), prev_raw.felt(k), eqk)
+                b.mov(1, same)
+                b.place(eqk)
+            skip = b.label()
+            b.branch_eq(same, 0, skip)
+            for k in range(8):
+                b.assert_eq(child_pvs.felt(k), merged.felt(k))
+            # pc chain: prev final_pc == child initial_pc
+            b.assert_eq(merged.felt(9), child_pvs.felt(8))
+            # memory-root chain: prev final root == child initial root
+            for k in range(8):
+                b.assert_eq(merged.felt(20 + k), child_pvs.felt(12 + k))
+            # adopt child's final pc / exit / terminate / final root
+            for k in (9, 10, 11):
+                b.mov(child_pvs.felt(k), merged.felt(k))
+            for k in range(8):
+                b.mov(child_pvs.felt(20 + k), merged.felt(20 + k))
+            b.place(skip)
+            for k in range(28):
+                b.mov(child_pvs.felt(k), prev_raw.felt(k))
+    for k in range(28):
+        b.public_value(merged.felt(k), k)
+    for k in range(8):
+        b.public_value(self_commit.felt(k), 28 + k)
+        b.public_value(leaf_commit.felt(k), 36 + k)
+    b.halt(0)
+    exe = b.compile()
+    meta = {"num_insns": len(exe.program.instructions),
+            "num_children": num_children}
+    return exe, meta
+
+
+def static_height_profile(exe, base_heights=None):
+    """Upper-bound per-chip trace heights for a straight-line native
+    program by opcode histogram (every instruction row-izes at most once;
+    straight-line programs have no loops).  Returns {air name: pow2 height}
+    for the aggregation VM's fixed-height proving (reference
+    NATIVE_MAX_TRACE_HEIGHTS role, extension/mod.rs:569)."""
+    from ..vm.instructions import (FieldArithmeticOpcode as FA,
+                                   FieldExtensionOpcode as FE,
+                                   NativeBranchEqOpcode as NB,
+                                   NativeJalOpcode,
+                                   NativeLoadStore4Opcode as L4,
+                                   NativeLoadStoreOpcode as L1,
+                                   NativeRangeCheckOpcode, Poseidon2Opcode,
+                                   SystemOpcode)
+    counts = {"native_field_arithmetic": 0, "native_field_extension": 0,
+              "native_branch_eq": 0, "native_loadstore": 0,
+              "native_loadstore4": 0, "native_jal_rangecheck": 0,
+              "native_poseidon2": 0, "phantom": 0}
+    touched = 0
+    for insn in exe.program.instructions:
+        op = insn.opcode
+        if FA.ADD <= op <= FA.DIV:
+            counts["native_field_arithmetic"] += 1
+            touched += 1
+        elif FE.FE4ADD <= op <= FE.BBE4DIV:
+            counts["native_field_extension"] += 1
+            touched += 4
+        elif op in (NB.BEQ, NB.BNE):
+            counts["native_branch_eq"] += 1
+        elif op in (L1.LOADW, L1.STOREW, L1.HINT_STOREW):
+            counts["native_loadstore"] += 1
+            touched += 1
+        elif op in (L4.LOADW4, L4.STOREW4, L4.HINT_STOREW4):
+            counts["native_loadstore4"] += 1
+            touched += 4
+        elif op in (NativeJalOpcode.JAL, NativeRangeCheckOpcode.RANGE_CHECK):
+            counts["native_jal_rangecheck"] += 1
+            touched += 1
+        elif op in (Poseidon2Opcode.PERM_POS2, Poseidon2Opcode.COMP_POS2):
+            counts["native_poseidon2"] += 1
+            touched += 32
+        elif op == SystemOpcode.PHANTOM:
+            counts["phantom"] += 1
+
+    def pow2(x):
+        return 1 << max(int(x) - 1, 0).bit_length() if x > 0 else 1
+
+    prof = {name: pow2(n) for name, n in counts.items()}
+    prof["poseidon2"] = pow2(counts["native_poseidon2"])
+    prof["program"] = pow2(len(exe.program.instructions))
+    prof["memory_boundary"] = pow2(touched)
+    if base_heights:
+        for k, v in base_heights.items():
+            prof[k] = max(prof.get(k, 1), v)
+    return prof

@@ -94,3 +94,155 @@ class Sdk:
         return app_pk.vm.verify(app_proof.proof,
                                 expected_exe_commit=app_proof.exe_commit,
                                 exe=app_pk.exe)
+
+    # -- aggregation (reference AggStarkProver, crates/sdk/src/prover/agg.rs
+    # 149-263: leaf layer over app segment proofs, internal layers k-ary
+    # until one proof remains) --------------------------------------------
+    def agg_keygen(self, app_pk: AppProvingKey, app_log_degrees,
+                   num_children: int = 3, stark=None) -> "AggProvingKey":
+        """Build the aggregation VM + leaf/internal programs for app proofs
+        of the given (fixed) height profile.
+
+        The native VM proves at a FIXED height profile (reference
+        NATIVE_MAX_TRACE_HEIGHTS) derived statically from the programs'
+        opcode histograms, so every leaf/internal proof shares one trace
+        shape — one verifier-program shape serves every internal layer and
+        one set of compiled prover kernels serves the whole tree.
+        """
+        from .native_compiler.verifier_program import (
+            build_internal_program, build_leaf_program,
+            static_height_profile)
+        from .vm.machine import NativeConfig
+
+        if stark is None:
+            stark = app_pk.vm.config.stark
+        vm = VirtualMachine(NativeConfig(stark=stark, num_native_pvs=44))
+        vm.keygen()
+
+        expose_mem = app_pk.vm.config.persistent
+        leaf_exe, _ = build_leaf_program(app_pk.vm.pk.vk, app_log_degrees,
+                                         expose_memory_pvs=expose_mem)
+        heights = static_height_profile(leaf_exe)
+        # fixed-point: the internal program's shape depends on the height
+        # profile, which depends on the internal program's own histogram
+        internal_exe = None
+        for _ in range(4):
+            log_degrees = self._native_log_degrees(vm, heights)
+            internal_exe, _ = build_internal_program(vm.pk.vk, log_degrees,
+                                                     num_children)
+            h2 = static_height_profile(internal_exe, base_heights=heights)
+            if h2 == heights:
+                break
+            heights = h2
+        return AggProvingKey(
+            vm=vm, heights=heights,
+            log_degrees=self._native_log_degrees(vm, heights),
+            leaf_exe=leaf_exe, internal_exe=internal_exe,
+            leaf_commit=vm.commit_exe(leaf_exe, heights["program"]),
+            internal_commit=vm.commit_exe(internal_exe,
+                                          heights["program"]),
+            num_children=num_children)
+
+    @staticmethod
+    def _native_log_degrees(vm, heights):
+        """Per-air log heights for the fixed profile, in air order."""
+        lds = []
+        for air in vm.airs:
+            if air.name == "program":
+                h = heights.get("program", 1)
+            elif air.name == "connector":
+                h = 2
+            elif air.name == "native_public_values":
+                h = 1 << (vm.config.num_native_pvs - 1).bit_length()
+            elif air.name == "range_checker":
+                h = len(air.preprocessed_trace())
+            elif air.name == "bitwise_lookup":
+                h = 1 << 16
+            else:
+                h = heights.get(air.name, 1)
+            lds.append(max(int(h) - 1, 0).bit_length())
+        return lds
+
+    def prove_leaf(self, agg_pk: "AggProvingKey", app_pk: AppProvingKey,
+                   app_proof) -> object:
+        """Wrap one app segment proof in a leaf native-VM proof."""
+        from .native_compiler.verifier_program import serialize_proof_felts
+        hints = serialize_proof_felts(app_pk.vm.pk.vk, app_proof)
+        proof, _ = agg_pk.vm.prove(agg_pk.leaf_exe, inputs=hints,
+                                   fixed_heights=agg_pk.heights)
+        return proof
+
+    def prove_internal(self, agg_pk: "AggProvingKey",
+                       child_proofs: list) -> object:
+        """Aggregate num_children native-VM proofs into one."""
+        from .native_compiler.verifier_program import serialize_proof_felts
+        assert len(child_proofs) == agg_pk.num_children
+        hints = [[int(v) for v in agg_pk.internal_commit],
+                 [int(v) for v in agg_pk.leaf_commit]]
+        for p in child_proofs:
+            hints.extend(serialize_proof_felts(agg_pk.vm.pk.vk, p))
+        proof, _ = agg_pk.vm.prove(agg_pk.internal_exe, inputs=hints,
+                                   fixed_heights=agg_pk.heights)
+        return proof
+
+    def verify_root(self, agg_pk: "AggProvingKey", root_proof,
+                    expected_app_commit=None):
+        """Host-side final check of an aggregated proof: STARK-verify on
+        the native vk, pin the root program to the internal (or leaf)
+        program commitment, and pin the exposed (self, leaf) commitment
+        pair — closing the recursion chain of trust at every depth."""
+        res = agg_pk.vm.verify(root_proof, exe=agg_pk.internal_exe)
+        pvs = [int(v) for v in res["public_values"]]
+        got_commit = np.asarray(root_proof.commitments.main_trace[0],
+                                dtype=np.uint64)
+        from .stark.verifier import VerificationError
+
+        def _chk(cond, msg):
+            if not cond:
+                raise VerificationError(msg)
+
+        if np.array_equal(got_commit, agg_pk.internal_commit):
+            _chk(pvs[28:36] == [int(v) for v in agg_pk.internal_commit],
+                 "root self-commit mismatch")
+            _chk(pvs[36:44] == [int(v) for v in agg_pk.leaf_commit],
+                 "root leaf-commit mismatch")
+        else:
+            _chk(np.array_equal(got_commit, agg_pk.leaf_commit),
+                 "root proof is neither internal nor leaf program")
+        _chk(pvs[10] == 0, f"aggregated exit code {pvs[10]}")
+        _chk(pvs[11] == 1, "aggregated execution did not terminate")
+        if expected_app_commit is not None:
+            _chk(pvs[0:8] == [int(v) for v in expected_app_commit],
+                 "app program commitment mismatch")
+        return {"app_commit": pvs[0:8], "connector": pvs[8:12],
+                "memory_pvs": pvs[12:28]}
+
+    def aggregate(self, agg_pk: "AggProvingKey", app_pk: AppProvingKey,
+                  segment_proofs: list) -> object:
+        """Full tree: leaf-wrap every segment, then k-ary internal layers
+        until one root proof remains (reference agg.rs:159-196)."""
+        layer = [self.prove_leaf(agg_pk, app_pk, p)
+                 for p in segment_proofs]
+        k = agg_pk.num_children
+        while len(layer) > 1:
+            nxt = []
+            for i in range(0, len(layer), k):
+                group = layer[i:i + k]
+                while len(group) < k:   # duplicate-last padding
+                    group.append(group[-1])
+                nxt.append(self.prove_internal(agg_pk, group))
+            layer = nxt
+        return layer[0]
+
+
+@dataclass
+class AggProvingKey:
+    """Aggregation proving key (reference AggProvingKey, keygen/mod.rs)."""
+    vm: VirtualMachine                 # native VM, 44 felt pvs
+    heights: dict                      # fixed per-chip trace heights
+    log_degrees: list                  # per-air log heights (air order)
+    leaf_exe: VmExe
+    internal_exe: VmExe
+    leaf_commit: np.ndarray
+    internal_commit: np.ndarray
+    num_children: int = 3

@@ -186,3 +186,121 @@ def keygen(airs: list[Air], config: StarkConfig = StarkConfig(),
         for vk, air, (lde, tree, dev) in zip(per_air_vk, airs, per_air_pk_data)
     ]
     return MultiStarkProvingKey(vk=mvk, per_air=per_air_pk)
+
+
+# ---------------------------------------------------------------------------
+# proving-key serialization (reference SDK fs.rs + CLI `setup` cache role)
+# ---------------------------------------------------------------------------
+
+
+def save_pk(pk: MultiStarkProvingKey, path: str) -> None:
+    """Serialize a proving key to disk (device arrays -> host numpy)."""
+    import pickle
+
+    def tree_host(t):
+        if t is None:
+            return None
+        return ([np.asarray(m) for m in t.matrices],
+                [np.asarray(l) for l in t.digest_layers], t.root)
+
+    payload = {
+        "vk": pk.vk,
+        "per_air": [
+            {"air": apk.air,
+             "lde": None if apk.preprocessed_lde is None
+             else np.asarray(apk.preprocessed_lde),
+             "tree": tree_host(apk.preprocessed_tree),
+             "trace": None if apk.preprocessed_trace is None
+             else np.asarray(apk.preprocessed_trace)}
+            for apk in pk.per_air],
+    }
+    import os
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    os.replace(tmp, path)
+
+
+def load_pk(path: str) -> MultiStarkProvingKey:
+    """Deserialize a proving key (host numpy -> device arrays)."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+
+    def tree_dev(t):
+        if t is None:
+            return None
+        mats, layers, root = t
+        return merkle.MerkleTree(
+            matrices=[jnp.asarray(m) for m in mats],
+            digest_layers=[jnp.asarray(l) for l in layers], root=root)
+
+    per_air = [
+        AirProvingKey(
+            vk=vk, air=d["air"],
+            preprocessed_lde=None if d["lde"] is None
+            else jnp.asarray(d["lde"]),
+            preprocessed_tree=tree_dev(d["tree"]),
+            preprocessed_trace=None if d["trace"] is None
+            else jnp.asarray(d["trace"]))
+        for vk, d in zip(payload["vk"].per_air, payload["per_air"])]
+    return MultiStarkProvingKey(vk=payload["vk"], per_air=per_air)
+
+
+def _circuit_code_digest() -> str:
+    """Hash of the circuit-defining sources: any constraint change must
+    invalidate cached proving keys even when widths are unchanged."""
+    import hashlib
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    paths = []
+    for sub in ("vm/circuit", "stark"):
+        d = os.path.join(root, sub)
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".py"):
+                paths.append(os.path.join(d, fn))
+    for p in paths:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def cached_keygen(airs: list, config: StarkConfig,
+                  cache_dir: str | None = None,
+                  extra_sig: str = "") -> MultiStarkProvingKey:
+    """keygen with a disk cache keyed on (air shapes, FRI config, circuit
+    source digest) — the reference's `cargo openvm setup` artifact cache
+    (~/.openvm) role.  Set OPENVM_TPU_NO_PK_CACHE=1 to disable."""
+    import hashlib
+    import os
+
+    if os.environ.get("OPENVM_TPU_NO_PK_CACHE"):
+        return keygen(airs, config)
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                                 "openvm_tpu_pk")
+    sig = repr([(a.name, a.width, tuple(a.cached_main_widths),
+                 a.num_public_values) for a in airs])
+    sig += repr((config.fri.log_blowup, config.fri.num_queries,
+                 config.fri.proof_of_work_bits, config.log_up_pow_bits,
+                 config.max_constraint_degree))
+    sig += _circuit_code_digest() + extra_sig
+    key = hashlib.sha256(sig.encode()).hexdigest()[:24]
+    path = os.path.join(cache_dir, f"pk_{key}.pkl")
+    if os.path.exists(path):
+        try:
+            return load_pk(path)
+        except Exception:
+            pass  # corrupt/stale cache: regenerate
+    pk = keygen(airs, config)
+    try:
+        save_pk(pk, path)
+    except Exception:
+        pass
+    return pk

@@ -23,6 +23,9 @@ from .. import fri, merkle, ntt
 from ..challenger import DuplexChallenger
 from .config import MAX_TWO_ADICITY
 from .evaluator import DeviceOps
+
+# (vk id, log_q, arg shapes) -> [(constraint count, compiled quotient fn)]
+_QUOTIENT_EXEC_CACHE: dict = {}
 from .keygen import MultiStarkProvingKey
 from .logup import build_perm_trace
 
@@ -458,6 +461,18 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
             return eval_logup_folded(dag, vk.interaction_chunks, env,
                                      alpha_a)
 
+        # compiled-executable cache: the closures depend only on (vk,
+        # shapes), not trace data, so re-lowering every prove call defeats
+        # jax's in-process jit cache and pays a persistent-cache
+        # READ+deserialize (~2s/executable, ~100s/prove in profiling) each
+        # time.  Key on the vk object identity + arg shapes.
+        key = (id(vk), log_q,
+               tuple(leaf.shape for leaf in jax.tree_util.tree_leaves(args)
+                     if hasattr(leaf, "shape")))
+        cached_exec = _QUOTIENT_EXEC_CACHE.get(key)
+        if cached_exec is not None:
+            return ("cached", cached_exec), args, (log_q, step, sels)
+
         lowered = [
             (len(roots),
              jax.jit(functools.partial(group_closure, tuple(roots)))
@@ -466,23 +481,32 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         if n_logup:
             lowered.append(
                 (n_logup, jax.jit(logup_closure).lower(*args)))
-        return lowered, args, (log_q, step, sels)
+        return ("fresh", lowered, key), args, (log_q, step, sels)
 
     _q_prepared = [prepare_quotient(i, c, vk)
                    for i, (c, vk) in enumerate(zip(ctxs, vks))]
-    _q_futs = [[(count, _pool.submit(low.compile))
-                for (count, low) in lowered]
-               for (lowered, _, _) in _q_prepared]
-    for i, ((lowered, args, (log_q, step, sels)), futs) in enumerate(
+    _q_futs = []
+    for (prep, _, _) in _q_prepared:
+        if prep[0] == "cached":
+            _q_futs.append([(count, None, fn) for (count, fn) in prep[1]])
+        else:
+            _q_futs.append([(count, _pool.submit(low.compile), None)
+                            for (count, low) in prep[1]])
+    for i, ((prep, args, (log_q, step, sels)), futs) in enumerate(
             zip(_q_prepared, _q_futs)):
         acc = ef.zeros((1 << log_q,))
         consumed = 0
-        for count, fut in futs:
-            part = fut.result()(*args)
+        compiled_list = []
+        for count, fut, ready in futs:
+            fn = ready if ready is not None else fut.result()
+            compiled_list.append((count, fn))
+            part = fn(*args)
             consumed += count
             shift = ef.exp_u64(alpha, count)
             acc = ef.add(ef.mul(jnp.broadcast_to(shift, part.shape), acc),
                          part)
+        if prep[0] == "fresh":
+            _QUOTIENT_EXEC_CACHE[prep[2]] = compiled_list
         assert consumed == len(vks[i].dag.constraint_roots)
         quotient = ef.scale(acc, sels["inv_zeroifier"])
         quotient_chunk_mats.extend(
@@ -593,20 +617,29 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
     pow_witness = challenger.grind(cfg.fri.proof_of_work_bits)
 
     _mark("fri commit phase + pow")
+    # all query indices are sampled before any opening is observed, so
+    # batching the openings is transcript-identical; batched gathers cost
+    # one device round-trip per matrix/layer instead of per query
+    indices = [challenger.sample_bits(log_max_lde)
+               for _ in range(cfg.fri.num_queries)]
+    round_openings = []
+    for rnd in rounds:
+        batch_max = max(m.log_lde for m in rnd.mats)
+        reduced = [idx >> (log_max_lde - batch_max) for idx in indices]
+        round_openings.append(merkle.open_rows_batch(rnd.tree, reduced))
+    steps_per_query = fri.answer_queries_batch(indices, trees,
+                                               evals_per_step)
     query_proofs = []
-    for _ in range(cfg.fri.num_queries):
-        index = challenger.sample_bits(log_max_lde)
+    for qi, index in enumerate(indices):
         input_proof = []
-        for rnd in rounds:
-            batch_max = max(m.log_lde for m in rnd.mats)
-            reduced_index = index >> (log_max_lde - batch_max)
-            opened_rows, proof_path = merkle.open_row(rnd.tree, reduced_index)
+        for ri, rnd in enumerate(rounds):
+            opened_rows, proof_path = round_openings[ri][qi]
             input_proof.append(fri.BatchOpening(
                 opened_values=[list(map(int, r)) for r in opened_rows],
                 opening_proof=proof_path))
-        steps = fri.answer_query(index, trees, evals_per_step)
         query_proofs.append(fri.QueryProof(
-            input_proof=input_proof, commit_phase_openings=steps))
+            input_proof=input_proof,
+            commit_phase_openings=steps_per_query[qi]))
 
     _mark("queries")
     fri_proof = fri.FriProof(

@@ -216,6 +216,19 @@ class Air:
     def preprocessed_trace(self):
         return None
 
+    def pad_to(self, trace, height: int):
+        """Extend a built trace to `height` rows (fixed-height proving,
+        reference NATIVE_MAX_TRACE_HEIGHTS role).  Default zero rows —
+        valid for is_valid-gated chips; chips whose padding rows carry
+        real data (ungated permutation tables) override."""
+        import numpy as np
+        n = len(trace)
+        assert n <= height, f"{self.name}: trace {n} exceeds fixed {height}"
+        if n == height:
+            return trace
+        return np.vstack([trace, np.zeros((height - n, trace.shape[1]),
+                                          dtype=trace.dtype)])
+
     def eval(self, builder: "AirBuilder") -> None:
         raise NotImplementedError
 

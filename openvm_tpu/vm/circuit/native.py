@@ -696,25 +696,30 @@ class NativePublicValuesAir(Air):
 
     def preprocessed_trace(self):
         n = self.num_pvs
-        t = np.zeros((n, 1 + n), dtype=np.uint64)
-        t[:, 0] = np.arange(n)
-        t[np.arange(n), 1 + np.arange(n)] = 1
+        h = 1 << max(n - 1, 0).bit_length()   # pow2 height; pad inactive
+        t = np.zeros((h, 2 + n), dtype=np.uint64)
+        t[:n, 0] = 1                          # active flag
+        t[:n, 1] = np.arange(n)
+        t[np.arange(n), 2 + np.arange(n)] = 1
         return t
 
     def eval(self, b):
         c = self.c
-        idx = b.preprocessed(0)
-        onehot = [b.preprocessed(1 + i) for i in range(self.num_pvs)]
+        active = b.preprocessed(0)
+        idx = b.preprocessed(1)
+        onehot = [b.preprocessed(2 + i) for i in range(self.num_pvs)]
         pv = _m(b, c, "pv")
         final_ts = _m(b, c, "final_ts")
-        b.push_send(B.MEMORY_BUS, [3, idx, 0, 0, 0, 0, 0], 1)
-        b.push_receive(B.MEMORY_BUS, [3, idx, pv, 0, 0, 0, final_ts], 1)
+        b.push_send(B.MEMORY_BUS, [3, idx, 0, 0, 0, 0, 0], active)
+        b.push_receive(B.MEMORY_BUS, [3, idx, pv, 0, 0, 0, final_ts],
+                       active)
         for i in range(self.num_pvs):
             b.assert_zero(onehot[i] * (pv - b.public_value(i)))
 
     def trace(self, touched) -> np.ndarray:
         """touched: preflight (as,addr)->[d0..d3, ts] final word states."""
-        t = np.zeros((self.num_pvs, self.width), dtype=np.uint64)
+        h = 1 << max(self.num_pvs - 1, 0).bit_length()
+        t = np.zeros((h, self.width), dtype=np.uint64)
         for i in range(self.num_pvs):
             w = touched.get((3, i))
             if w:

@@ -118,6 +118,17 @@ class Poseidon2Air(Air):
         b.push_receive(self.bus, inp + state, mult)
 
     # -- tracegen --------------------------------------------------------
+    def pad_to(self, trace, height: int):
+        """Padding rows must be real zero-state permutations (the round
+        constraints are ungated), not zero rows."""
+        n = len(trace)
+        assert n <= height, f"poseidon2 trace {n} exceeds fixed {height}"
+        if n == height:
+            return trace
+        dummy = self.trace(np.zeros((1, 16), dtype=np.uint64),
+                           mults=np.zeros(1, dtype=np.uint64))[0:1]
+        return np.vstack([trace, np.repeat(dummy, height - n, axis=0)])
+
     def trace(self, inputs: np.ndarray, mults=None) -> np.ndarray:
         """inputs: (N, 16) canonical uint64; returns the full trace.
 

@@ -37,10 +37,14 @@ class ProgramAir(Air):
         b.push_receive(B.PROGRAM_BUS, cached, mult)
 
 
-def program_cached_trace(program) -> np.ndarray:
-    """(H, 9) canonical rows [pc, opcode, a,b,c,d,e,f,g], pow2-padded."""
+def program_cached_trace(program, height: int | None = None) -> np.ndarray:
+    """(H, 9) canonical rows [pc, opcode, a,b,c,d,e,f,g], pow2-padded
+    (or padded to a fixed `height` for aggregation-VM shape pinning)."""
     n = len(program.instructions)
     h = max(1, 1 << (n - 1).bit_length()) if n else 1
+    if height is not None:
+        assert height >= h, f"program {n} insns exceeds fixed {height}"
+        h = height
     rows = np.zeros((h, 9), dtype=np.uint64)
     for i, insn in enumerate(program.instructions):
         if insn is None:

@@ -182,14 +182,25 @@ class VirtualMachine:
         self.air_index = {a.name: i for i, a in enumerate(self.airs)}
         self.pk = None
 
-    def keygen(self):
-        self.pk = stark_keygen(self.airs, self.config.stark)
+    def keygen(self, cache: bool = True):
+        """Build (or load from the disk cache) the multi-STARK proving key
+        (reference `cargo openvm setup` artifact cache role)."""
+        if cache:
+            from ..stark.keygen import cached_keygen
+            cfg = self.config
+            extra = repr((cfg.executors, cfg.bigint, cfg.keccak, cfg.sha256,
+                          cfg.moduli, cfg.curves, cfg.fp2, cfg.persistent,
+                          cfg.native, cfg.num_native_pvs, cfg.num_pv_words))
+            self.pk = cached_keygen(self.airs, self.config.stark,
+                                    extra_sig=extra)
+        else:
+            self.pk = stark_keygen(self.airs, self.config.stark)
         return self.pk
 
     # -- commitment of the executable (program ROM cached trace) ---------
-    def commit_exe(self, exe: VmExe) -> np.ndarray:
+    def commit_exe(self, exe: VmExe, height: int | None = None) -> np.ndarray:
         import jax.numpy as jnp
-        cached = program_cached_trace(exe.program)
+        cached = program_cached_trace(exe.program, height)
         dev = bb.to_monty(jnp.asarray(cached.astype(np.uint32)))
         lde = ntt.coset_lde(dev, self.config.stark.fri.log_blowup)
         return merkle.commit([lde]).root
@@ -298,7 +309,8 @@ class VirtualMachine:
 
     # -- proving ---------------------------------------------------------
     def prove(self, exe: VmExe, inputs=None, max_insns=None, debug=False,
-              native=True, state=None, initial_tree=None):
+              native=True, state=None, initial_tree=None,
+              fixed_heights: dict | None = None):
         assert self.pk is not None, "call keygen() first"
         pre = None
         if state is not None:
@@ -324,7 +336,9 @@ class VirtualMachine:
 
         traces: dict[str, np.ndarray] = {}
         # program: cached [pc|opcode|operands], common [mult]
-        cached = program_cached_trace(exe.program)
+        cached = program_cached_trace(
+            exe.program,
+            fixed_heights.get("program") if fixed_heights else None)
         mult = np.zeros((len(cached), 1), dtype=np.uint64)
         for idx, cnt in pre.exec_counts.items():
             mult[idx, 0] = cnt
@@ -438,6 +452,15 @@ class VirtualMachine:
             else:
                 traces[air.name] = np.zeros((1, air.width), dtype=np.uint64)
 
+        # fixed-height padding (reference NATIVE_MAX_TRACE_HEIGHTS role):
+        # pins every trace shape so aggregation-VM proofs share one shape
+        # and one set of compiled prover kernels
+        if fixed_heights:
+            for name, h in fixed_heights.items():
+                if name in traces:
+                    air = self.airs[self.air_index[name]]
+                    traces[name] = air.pad_to(traces[name], h)
+
         # lookup multiplicities from the interaction DAGs (generic)
         range_mult, bitwise_mult = self._lookup_multiplicities(traces,
                                                               program_cached)
@@ -520,10 +543,16 @@ class VirtualMachine:
             roots = [r for (_, frs, cr) in sends for r in frs + [cr]]
             vals = dag.eval(DeviceOps, env, roots=roots)
 
+            # one stacked device->host transfer per AIR (pulling ~500
+            # columns individually cost ~25s/prove in profiling)
+            uniq = list(dict.fromkeys(roots))
+            stacked = jnp.stack([jnp.broadcast_to(vals[r][1], (n,))
+                                 for r in uniq])
+            host = np.asarray(bb.from_monty(stacked), dtype=np.uint64)
+            root_row = {r: k for k, r in enumerate(uniq)}
+
             def col(root):
-                tag, v = vals[root]
-                arr = np.asarray(bb.from_monty(v), dtype=np.uint64)
-                return np.broadcast_to(arr, (n,))
+                return host[root_row[root]]
 
             for (bus, frs, cr) in sends:
                 fields = [col(r) for r in frs]

@@ -1,0 +1,102 @@
+"""Aggregation stack tests: leaf wrapping of app proofs + internal tree.
+
+Mirrors reference crates/sdk aggregation tests (SURVEY.md section 2.16/2.17):
+the SDK builds leaf/internal verifier programs at a fixed native-VM height
+profile, wraps real app segment proofs in leaf proofs, and aggregates k-ary
+until a single root proof.  Default suite runs the leaf program at
+execution level against a real app crypto proof (the program IS the
+verifier — executing it to exit 0 checks every transcript/FRI/constraint
+equation); the crypto prove of the leaf itself and the full tree are
+OPENVM_SLOW-gated (minutes of proving).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from openvm_tpu.native_compiler.verifier_program import serialize_proof_felts
+from openvm_tpu.sdk import Sdk
+from openvm_tpu.stark import FriParameters, StarkConfig
+from openvm_tpu.vm.machine import Rv32Config
+from openvm_tpu.vm.preflight import PreflightInterpreter
+from tests.test_vm_prove import FIB_EXECUTORS, build_fib_program
+
+TEST_STARK = StarkConfig(fri=FriParameters(log_blowup=1, num_queries=2,
+                                           proof_of_work_bits=1))
+
+
+@pytest.fixture(scope="module")
+def app_setup():
+    sdk = Sdk(Rv32Config(stark=TEST_STARK, executors=FIB_EXECUTORS))
+    exe = build_fib_program(32)
+    app_pk = sdk.app_keygen(exe)
+    app_proof = sdk.prove(app_pk, exe)
+    sdk.verify_app_proof(app_pk, app_proof)
+    return sdk, app_pk, app_proof
+
+
+@pytest.fixture(scope="module")
+def agg_setup(app_setup):
+    sdk, app_pk, app_proof = app_setup
+    log_degrees = [p.log_degree for p in app_proof.proof.per_air]
+    agg_pk = sdk.agg_keygen(app_pk, log_degrees, num_children=2,
+                            stark=TEST_STARK)
+    return sdk, app_pk, app_proof, agg_pk
+
+
+def test_leaf_program_exec_accepts_app_proof(agg_setup):
+    sdk, app_pk, app_proof, agg_pk = agg_setup
+    hints = serialize_proof_felts(app_pk.vm.pk.vk, app_proof.proof)
+    pre = PreflightInterpreter(agg_pk.leaf_exe, 44).execute(inputs=hints)
+    assert pre.exit_code == 0
+    exposed = [pre.touched.get((3, k), [0])[0] for k in range(12)]
+    assert exposed[:8] == [int(v) for v in app_proof.exe_commit]
+    conn = app_proof.proof.per_air[1].public_values
+    assert exposed[8:12] == [int(v) for v in conn]
+    # sentinel pvs (self/leaf commit slots) stay zero on leaf proofs
+    for k in range(28, 44):
+        assert pre.touched.get((3, k), [0])[0] == 0
+
+
+def test_leaf_program_exec_rejects_tampered_app_proof(agg_setup):
+    import copy
+
+    sdk, app_pk, app_proof, agg_pk = agg_setup
+    bad = copy.deepcopy(app_proof.proof)
+    arr = [int(v) for v in np.asarray(bad.commitments.quotient)]
+    arr[0] = (arr[0] + 1) % 2013265921
+    bad.commitments.quotient = arr
+    hints = serialize_proof_felts(app_pk.vm.pk.vk, bad)
+    try:
+        pre = PreflightInterpreter(agg_pk.leaf_exe, 44).execute(inputs=hints)
+        assert pre.exit_code != 0, "tampered app proof accepted by leaf"
+    except Exception:
+        pass
+
+
+def test_height_profile_covers_leaf(agg_setup):
+    sdk, app_pk, app_proof, agg_pk = agg_setup
+    hints = serialize_proof_felts(app_pk.vm.pk.vk, app_proof.proof)
+    pre = PreflightInterpreter(agg_pk.leaf_exe, 44).execute(inputs=hints)
+    for name, rec in pre.records.items():
+        n = len(next(iter(rec.values())))
+        cap = agg_pk.heights.get(name)
+        if cap is not None:
+            assert n <= cap, f"{name}: {n} rows > fixed {cap}"
+
+
+@pytest.mark.skipif(not os.environ.get("OPENVM_SLOW"),
+                    reason="full aggregation tree proves for minutes")
+def test_full_aggregation_tree(agg_setup):
+    sdk, app_pk, app_proof, agg_pk = agg_setup
+    leaf = sdk.prove_leaf(agg_pk, app_pk, app_proof.proof)
+    res = sdk.verify_root(agg_pk, leaf,
+                          expected_app_commit=app_proof.exe_commit)
+    conn = app_proof.proof.per_air[1].public_values
+    assert res["connector"] == [int(v) for v in conn]
+    # internal node over (leaf, duplicate-padded leaf) -> root proof
+    root = sdk.prove_internal(agg_pk, [leaf, leaf])
+    res = sdk.verify_root(agg_pk, root,
+                          expected_app_commit=app_proof.exe_commit)
+    assert res["connector"] == [int(v) for v in conn]
