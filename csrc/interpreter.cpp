@@ -352,6 +352,11 @@ ExecResult execute_e1(const int64_t* opcode, const int64_t* oa,
         while (hint.size() % 4) hint.push_back(0);
         input_ptr += len;
         next_input++;
+      } else if (disc >= 0x30) {
+        // extension phantoms (e.g. pairing HintFinalExp) need host
+        // bigint arithmetic: bail so the Python path handles them
+        res.error = 2;
+        break;
       }
       // other phantoms: nop at E1 level (print suppressed natively)
       pc += 4;

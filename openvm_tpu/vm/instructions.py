@@ -254,6 +254,13 @@ class Rv32Phantom:
     HINT_LOAD_BY_KEY = 0x23
 
 
+class PairingPhantom:
+    """Pairing extension phantom (reference
+    extensions/pairing/transpiler/src/lib.rs:13-18): resets the hint
+    stream to final_exp_hint(multi_miller_loop(P, Q)) = (c, u)."""
+    HINT_FINAL_EXP = 0x30
+
+
 @dataclass
 class Instruction:
     """7-operand VM instruction over BabyBear (values canonical ints)."""

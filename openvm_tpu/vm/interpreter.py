@@ -27,11 +27,29 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            Rv32HintStoreOpcode, Rv32JalLuiOpcode,
                            Rv32JalrOpcode, Rv32KeccakOpcode,
                            Rv32Sha256Opcode,
-                           Rv32LoadStoreOpcode, Rv32Phantom,
+                           Rv32LoadStoreOpcode, Rv32Phantom, PairingPhantom,
                            Shift256Opcode, ShiftOpcode, SysPhantom,
                            SystemOpcode, VmExe)
 
 M32 = 0xFFFFFFFF
+
+
+def _hint_final_exp(st, a, b, curve_idx):
+    """HintFinalExp phantom executor (reference
+    extensions/pairing/circuit/src/pairing_extension.rs:133-210)."""
+    from ..pairing.final_exp import hint_final_exp_bytes
+
+    def rd_bytes(ptr, ln):
+        st.ensure_mem(ptr, ln)
+        return bytes(st.memory[ptr:ptr + ln])
+
+    try:
+        hint = hint_final_exp_bytes(curve_idx, rd_bytes,
+                                    st.regs[a // 4], st.regs[b // 4])
+    except ValueError as ex:
+        raise ExecutionError(str(ex)) from ex
+    st.streams.hint_stream.clear()
+    st.streams.hint_stream.extend(hint)
 
 
 class ExecutionError(Exception):
@@ -642,8 +660,9 @@ class Interpreter:
 
         if op == SystemOpcode.PHANTOM:
             disc = c & 0xFFFF
+            c_upper = c >> 16
 
-            def h(st, disc=disc, a=a, b=b):
+            def h(st, disc=disc, a=a, b=b, c_upper=c_upper):
                 if disc == Rv32Phantom.HINT_INPUT:
                     if not st.streams.input_stream:
                         raise ExecutionError("EndOfInputStream")
@@ -666,6 +685,8 @@ class Interpreter:
                     st.streams.hint_stream.clear()
                     st.streams.hint_stream.extend(
                         random.randrange(256) for _ in range(4 * length))
+                elif disc == PairingPhantom.HINT_FINAL_EXP:
+                    _hint_final_exp(st, a, b, c_upper)
                 elif disc == Rv32Phantom.HINT_LOAD_BY_KEY:
                     ptr = st.regs[a // 4]
                     length = st.regs[b // 4]

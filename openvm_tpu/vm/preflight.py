@@ -32,7 +32,8 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            Rv32AuipcOpcode, Rv32HintStoreOpcode,
                            Rv32JalLuiOpcode, Rv32JalrOpcode, Rv32KeccakOpcode,
                            Rv32Sha256Opcode,
-                           Rv32LoadStoreOpcode, Rv32Phantom, Shift256Opcode,
+                           Rv32LoadStoreOpcode, Rv32Phantom, PairingPhantom,
+                           Shift256Opcode,
                            ShiftOpcode, SystemOpcode, VmExe)
 from .interpreter import ExecutionError, Streams, _imm16, _imm24, _s32, _sx
 
@@ -1131,6 +1132,20 @@ class PreflightInterpreter:
                 elif disc == NativePhantom.PRINT:
                     w = mem._get(((c >> 16) or 4, a))
                     print(f"[native print] {w[0]}")
+                elif disc == PairingPhantom.HINT_FINAL_EXP:
+                    from ..pairing.final_exp import hint_final_exp_bytes
+
+                    def _peek(ptr, ln):
+                        return bytes(mem._get((2, (ptr + k) // 4))
+                                     [(ptr + k) % 4] for k in range(ln))
+
+                    def _reg(reg_off):
+                        return int.from_bytes(
+                            bytes(mem._get((1, reg_off // 4))[:4]), "little")
+
+                    streams.hint_stream.clear()
+                    streams.hint_stream.extend(hint_final_exp_bytes(
+                        c >> 16, _peek, _reg(a), _reg(b)))
                 _append(r, pc=pc, ts=ts, a=a, b=b, c=c)
                 pc, ts = pc + 4, ts + 1
 

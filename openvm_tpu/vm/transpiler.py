@@ -465,6 +465,32 @@ class EccTranspilerExtension:
         return None
 
 
+PAIRING_FUNCT3 = 0b011
+
+
+class PairingTranspilerExtension:
+    """Pairing phantom on custom-1 funct3=011 (reference
+    extensions/pairing/transpiler/src/lib.rs:23-55):
+    funct7 = pairing_idx * 16 + HintFinalExp(=0)."""
+
+    def process_custom(self, stream):
+        if not stream:
+            return None
+        w = stream[0]
+        if (w & 0x7F) != OP_CUSTOM1:
+            return None
+        d = decode(w)
+        if d.funct3 != PAIRING_FUNCT3:
+            return None
+        base = d.funct7 % 16
+        pairing_idx = d.funct7 // 16
+        if base != 0:  # only HintFinalExp exists
+            return None
+        from .instructions import PairingPhantom
+        return one(phantom(PairingPhantom.HINT_FINAL_EXP, a=4 * d.rs1,
+                           b=4 * d.rs2, c_upper=pairing_idx))
+
+
 @dataclass
 class TranspilerOutput:
     instructions: list
@@ -489,7 +515,8 @@ class Transpiler:
                                          ModularTranspilerExtension(),
                                          EccTranspilerExtension(),
                                          Fp2TranspilerExtension(),
-                                         Keccak256TranspilerExtension()]
+                                         Keccak256TranspilerExtension(),
+                                         PairingTranspilerExtension()]
 
     def transpile(self, words: list) -> list:
         out: list = []
