@@ -1,27 +1,33 @@
-// Preflight (E3) record-generating interpreter, native implementation.
+// Preflight (E3) record-generating interpreter core, native implementation.
 //
-// Mirrors openvm_tpu/vm/preflight.py exactly (tested equal): executes the
-// transpiled program with a word-granular timestamped memory and appends
-// column-oriented records per executor chip into caller-provided int64
-// matrices (row-major, fixed column layouts listed below — vm/native.py
-// slices them back into the tracegen record dicts).
+// Persistent-handle hybrid design: Python's PreflightInterpreter owns the
+// fetch/dispatch loop and ALL extension-opcode semantics; this library
+// executes contiguous runs of RV32IM base instructions at native speed and
+// YIELDS back to Python at any opcode it does not handle (extension chips,
+// phantom, hint stores, terminate).  Word memory, record vectors, the
+// touched-word order and per-pc execution counts live in the handle so
+// Python and C++ interleave on exactly the same state (Python accesses
+// memory through pf_vm_read_words/pf_vm_write_words).
 //
-// The reference keeps this layer native too (Rust PreflightInterpretedInstance,
-// crates/vm/src/arch/interpreter_preflight.rs).
+// Record layouts mirror openvm_tpu/vm/preflight.py exactly (tested equal:
+// tests/test_vm_full_ops.py).  The reference keeps this layer native too
+// (Rust PreflightInterpretedInstance, crates/vm/src/arch/
+// interpreter_preflight.rs), and the metered segmentation thresholds mirror
+// crates/vm/src/arch/execution_mode/metered/segment_ctx.rs:6-10,135-217
+// (max trace height / total cells / total interactions, checked every
+// segment_check_insns, plus the powdr fork's POWDR_OPENVM_SEGMENT_DELTA
+// timestamp-pressure knob).
 
 #include <cstdint>
 #include <cstring>
-#include <vector>
 #include <memory>
+#include <vector>
 
 namespace {
 
 constexpr uint64_t kP = 2013265921;
-constexpr uint32_t kInitialTs = 1;
 
 enum : int64_t {
-  TERMINATE = 0,
-  PHANTOM = 1,
   ADD = 0x200, SUB, XOR_, OR_, AND_,
   SLL = 0x205, SRL, SRA,
   SLT = 0x208, SLTU,
@@ -33,32 +39,37 @@ enum : int64_t {
   AUIPC = 0x240,
   MUL = 0x250, MULH, MULHSU, MULHU,
   DIV = 0x254, DIVU, REM, REMU,
-  HINT_STOREW = 0x260, HINT_BUFFER,
 };
-
-constexpr uint16_t kHintInput = 0x20;
 
 // record column widths (must match vm/native.py PREFLIGHT_LAYOUTS)
 enum Chip { ALU, LT, SHIFT, MULC, DIVREM, BEQC, BLTC, JALLUI, JALRC, AUIPCC,
-            LS, HINT, PHANTOMC, NUM_CHIPS };
+            LS, NUM_CHIPS };
 constexpr int kWidths[NUM_CHIPS] = {26, 22, 26, 25, 29, 17, 17, 16, 23, 13,
-                                    31, 28, 5};
+                                    31};
 
-struct PreflightOut {
-  int64_t error;        // 0 ok (see interpreter.cpp codes); 6 = capacity
-  int64_t exit_code;
+// pf_vm_run statuses
+enum : int64_t {
+  ST_YIELD = 1,     // pc holds an opcode Python must execute (or TERMINATE)
+  ST_INSN_LIMIT = 5,
+  ST_SEGMENT_FULL = 8,
+  ST_MEM_ERROR = 9,
+};
+
+struct RunOut {
+  int64_t status;
+  int64_t yield_op;   // opcode at pc when status == ST_YIELD
+  uint32_t pc;
+  uint64_t ts;
   uint64_t instret;
-  uint32_t final_pc;
-  uint64_t final_ts;
   int64_t n_touched;
+  int64_t cpp_cells;  // current total record cells across C++ chips
 };
 
 inline int32_t sx32(uint32_t v) { return static_cast<int32_t>(v); }
 
 struct Memory {
   // word-granular: value + last ts + initial value; touched tracked in
-  // order.  Pages allocated on demand: a flat 2^27-word address space
-  // zero-filled per call cost ~2s/preflight regardless of program size.
+  // order.  Pages allocated on demand.
   static constexpr uint32_t PB = 16;
   static constexpr uint32_t PSZ = 1u << PB;
   static constexpr uint32_t PMASK = PSZ - 1;
@@ -78,6 +89,7 @@ struct Memory {
     base_key = key;
     touch_order = order;
   }
+  size_t n_words() const { return pages.size() * PSZ; }
   inline Page& pg(uint32_t wa) {
     auto& p = pages[wa >> PB];
     if (!p) p.reset(new Page());
@@ -124,18 +136,30 @@ struct Memory {
   inline void poke_val(uint32_t wa, uint32_t v) {
     pg(wa).val[wa & PMASK] = v;
   }
+  // segment boundary: clear access state, keep values (next segment's
+  // initial memory = this segment's final memory)
+  void segment_reset() {
+    for (auto& p : pages) {
+      if (!p) continue;
+      std::memset(p->ts, 0, sizeof(p->ts));
+      std::memset(p->touched, 0, sizeof(p->touched));
+    }
+  }
 };
 
 struct Rec {
-  int64_t* buf;
-  int64_t cap, n, width;
-  bool count_only;
+  std::vector<int64_t> buf;  // growable row-major storage
+  int64_t n = 0;
+  int width = 0;
+  bool count_only = false;
   int64_t scratch[64];
   inline int64_t* row() {
-    if (count_only) { n++; return scratch; }
-    if (n >= cap) return nullptr;
-    return buf + (n++) * width;
+    n++;
+    if (count_only) return scratch;
+    buf.resize(static_cast<size_t>(n) * width);
+    return buf.data() + static_cast<size_t>(n - 1) * width;
   }
+  void reset() { n = 0; buf.clear(); }
 };
 
 inline void put_limbs(int64_t* p, uint32_t v) {
@@ -143,72 +167,161 @@ inline void put_limbs(int64_t* p, uint32_t v) {
   p[2] = (v >> 16) & 0xFF; p[3] = (v >> 24) & 0xFF;
 }
 
+struct PfVm {
+  // program (borrowed; Python keeps the arrays alive on the handle object)
+  const int64_t* ops[8];
+  int64_t n_insns;
+  uint32_t pc_base;
+  int64_t* exec_counts;  // borrowed, length n_insns
+
+  Memory regs, mem, pvs;
+  std::vector<int64_t> touch_order;
+  Rec recs[NUM_CHIPS];
+
+  // metered segmentation (segment_ctx.rs equivalents); 0 = disabled
+  int64_t max_height = 0;
+  int64_t max_cells = 0;
+  int64_t max_interactions = 0;
+  int64_t ts_delta = -1;      // POWDR_OPENVM_SEGMENT_DELTA; -1 = off
+  int64_t check_insns = 1000; // DEFAULT_SEGMENT_CHECK_INSNS
+  int64_t widths[NUM_CHIPS] = {0};       // tracegen widths for cells
+  int64_t inters[NUM_CHIPS] = {0};       // interactions per row
+  int64_t touched_width = 0;             // boundary+merkle width per word
+  int64_t touched_inters = 0;
+  uint64_t last_check = 0;
+
+  int64_t mem_error = 0;
+
+  Memory* space(int64_t a_s) {
+    if (a_s == 1) return &regs;
+    if (a_s == 2) return &mem;
+    if (a_s == 3) return &pvs;
+    return nullptr;
+  }
+
+  int64_t cpp_cells() const {
+    int64_t total = 0;
+    for (int i = 0; i < NUM_CHIPS; i++) total += recs[i].n * widths[i];
+    return total;
+  }
+
+  // reference should_segment (segment_ctx.rs:135-217): any chip height
+  // over max, total cells over max, total interactions over max, or the
+  // powdr timestamp-pressure knob.
+  bool should_segment(uint64_t ts, int64_t py_cells, int64_t py_inters,
+                      int64_t py_max_height) const {
+    if (py_max_height > 0 && max_height && py_max_height > max_height)
+      return true;
+    int64_t cells = py_cells, inter = py_inters;
+    for (int i = 0; i < NUM_CHIPS; i++) {
+      if (max_height && recs[i].n > max_height) return true;
+      cells += recs[i].n * widths[i];
+      inter += (recs[i].n + 1) * inters[i];
+    }
+    int64_t nt = static_cast<int64_t>(touch_order.size());
+    if (max_height && nt > max_height) return true;
+    cells += nt * touched_width;
+    inter += (nt + 1) * touched_inters;
+    if (max_cells && cells > max_cells) return true;
+    if (max_interactions && inter > max_interactions) return true;
+    if (ts_delta >= 0 && (ts * 12) / 10 > (1ull << 29) - ts_delta)
+      return true;
+    return false;
+  }
+};
+
 }  // namespace
 
 extern "C" {
 
-PreflightOut preflight(
-    const int64_t* opcode, const int64_t* oa, const int64_t* ob,
-    const int64_t* oc, const int64_t* od, const int64_t* oe,
-    const int64_t* of_, const int64_t* og, int64_t n_insns, uint32_t pc_base,
-    uint32_t pc_start,
-    // initial AS2 memory image as word array (word_addr -> value), with a
-    // list of imaged word addresses
-    const int64_t* image_words, const int64_t* image_vals, int64_t n_image,
-    // inputs
-    const uint8_t* inputs, const int64_t* input_lens, int64_t n_inputs,
-    // per-chip record buffers (row-major int64, widths kWidths)
-    int64_t** rec_bufs, const int64_t* rec_caps, int64_t* rec_counts,
-    // outputs
-    int64_t* exec_counts,        // per instruction index
-    int64_t* touched_out,        // capacity x 11: as, wa, i0..3, f0..3, ts
-    int64_t touched_cap,
-    uint64_t max_insns, int64_t count_only) {
-  PreflightOut res{0, -1, 0, pc_start, 0, 0};
-
-  std::vector<int64_t> touch_order;
-  Memory regs, mem, pvs;
-  regs.setup(32, 1ll << 27, &touch_order);
-  mem.setup(1ull << 27, 2ll << 27, &touch_order);
-  pvs.setup(64, 3ll << 27, &touch_order);
+void* pf_vm_create(const int64_t* ops /* 8 x n row-major */, int64_t n_insns,
+                   uint32_t pc_base,
+                   const int64_t* image_words, const int64_t* image_vals,
+                   int64_t n_image, int64_t* exec_counts) {
+  PfVm* vm = new PfVm();
+  for (int k = 0; k < 8; k++) vm->ops[k] = ops + k * n_insns;
+  vm->n_insns = n_insns;
+  vm->pc_base = pc_base;
+  vm->exec_counts = exec_counts;
+  vm->regs.setup(32, 1ll << 27, &vm->touch_order);
+  vm->mem.setup(1ull << 27, 2ll << 27, &vm->touch_order);
+  vm->pvs.setup(64, 3ll << 27, &vm->touch_order);
   for (int64_t i = 0; i < n_image; i++) {
-    mem.poke_val(static_cast<uint32_t>(image_words[i]),
-                 static_cast<uint32_t>(image_vals[i]));
+    vm->mem.poke_val(static_cast<uint32_t>(image_words[i]),
+                     static_cast<uint32_t>(image_vals[i]));
   }
+  for (int i = 0; i < NUM_CHIPS; i++) vm->recs[i].width = kWidths[i];
+  return vm;
+}
 
-  Rec recs[NUM_CHIPS];
-  for (int i = 0; i < NUM_CHIPS; i++) {
-    recs[i].buf = rec_bufs ? rec_bufs[i] : nullptr;
-    recs[i].cap = rec_caps ? rec_caps[i] : 0;
-    recs[i].n = 0;
-    recs[i].width = kWidths[i];
-    recs[i].count_only = (count_only != 0);
-  }
+void pf_vm_destroy(void* h) { delete static_cast<PfVm*>(h); }
 
-  std::vector<uint8_t> hint;
-  size_t hint_pos = 0;
-  int64_t next_input = 0;
-  const uint8_t* input_ptr = inputs;
+void pf_vm_set_mode(void* h, int64_t count_only) {
+  PfVm* vm = static_cast<PfVm*>(h);
+  for (int i = 0; i < NUM_CHIPS; i++)
+    vm->recs[i].count_only = (count_only != 0);
+}
 
-  uint32_t pc = pc_start;
-  uint64_t ts = kInitialTs;
-  uint64_t instret = 0;
+void pf_vm_set_limits(void* h, int64_t max_height, int64_t max_cells,
+                      int64_t max_interactions, int64_t ts_delta,
+                      int64_t check_insns, const int64_t* widths,
+                      const int64_t* inters, int64_t touched_width,
+                      int64_t touched_inters) {
+  PfVm* vm = static_cast<PfVm*>(h);
+  vm->max_height = max_height;
+  vm->max_cells = max_cells;
+  vm->max_interactions = max_interactions;
+  vm->ts_delta = ts_delta;
+  if (check_insns > 0) vm->check_insns = check_insns;
+  if (widths) for (int i = 0; i < NUM_CHIPS; i++) vm->widths[i] = widths[i];
+  if (inters) for (int i = 0; i < NUM_CHIPS; i++) vm->inters[i] = inters[i];
+  vm->touched_width = touched_width;
+  vm->touched_inters = touched_inters;
+}
 
-#define ROW(chip, r)                        \
-  int64_t* r = recs[chip].row();            \
-  if (!r) { res.error = 6; goto done; }
+// Execute RV32IM instructions starting at (pc, ts, instret) until:
+//  - an opcode this core does not handle (ST_YIELD; pc/ts/instret point AT
+//    the unexecuted instruction — Python dispatches it),
+//  - the absolute instruction budget (ST_INSN_LIMIT),
+//  - the metered segmentation check trips (ST_SEGMENT_FULL; boundary is
+//    after the already-executed instructions, reference check_and_segment).
+// py_cells / py_inters / py_max_height fold Python-side extension-chip
+// accounting into the segmentation check.
+RunOut pf_vm_run(void* h, uint32_t pc, uint64_t ts, uint64_t instret,
+                 uint64_t max_insns, int64_t py_cells, int64_t py_inters,
+                 int64_t py_max_height) {
+  PfVm* vm = static_cast<PfVm*>(h);
+  const int64_t* opcode = vm->ops[0];
+  const int64_t* oa = vm->ops[1];
+  const int64_t* ob = vm->ops[2];
+  const int64_t* oc = vm->ops[3];
+  const int64_t* oe = vm->ops[5];
+  const int64_t* of_ = vm->ops[6];
+  const int64_t* og = vm->ops[7];
+  Memory& regs = vm->regs;
+  Memory& mem = vm->mem;
+  Memory& pvs = vm->pvs;
+
+  RunOut out{0, 0, pc, ts, instret, 0, 0};
+  const bool metered = vm->max_height || vm->max_cells
+      || vm->max_interactions || vm->ts_delta >= 0;
 
   for (;;) {
-    if (max_insns && instret >= max_insns) { res.error = 5; break; }
-    int64_t idx = (static_cast<int64_t>(pc) - pc_base) / 4;
-    if (idx < 0 || idx >= n_insns) { res.error = 1; break; }
-    const int64_t op = opcode[idx];
-    if (op == TERMINATE) {
-      res.exit_code = oc[idx];
+    if (max_insns && instret >= max_insns) { out.status = ST_INSN_LIMIT; break; }
+    if (metered && instret - vm->last_check >= (uint64_t)vm->check_insns) {
+      vm->last_check = instret;
+      if (vm->should_segment(ts, py_cells, py_inters, py_max_height)) {
+        out.status = ST_SEGMENT_FULL;
+        break;
+      }
+    }
+    int64_t idx = (static_cast<int64_t>(pc) - vm->pc_base) / 4;
+    if (idx < 0 || idx >= vm->n_insns) {
+      out.status = ST_YIELD;  // python raises "pc out of bounds"
+      out.yield_op = -1;
       break;
     }
-    exec_counts[idx]++;
-    instret++;
+    const int64_t op = opcode[idx];
     const uint32_t a = static_cast<uint32_t>(oa[idx]);
     const uint32_t b = static_cast<uint32_t>(ob[idx]);
     const uint32_t c = static_cast<uint32_t>(oc[idx]);
@@ -258,7 +371,7 @@ PreflightOut preflight(
       }
       uint32_t pw;
       uint32_t prev = regs.write(a / 4, v, ts + 2, &pw);
-      ROW(chip, r);
+      int64_t* r = vm->recs[chip].row();
       r[0] = pc; r[1] = ts; r[2] = oi; r[3] = is_imm;
       r[4] = a / 4; r[5] = b / 4; r[6] = is_imm ? c : c / 4;
       put_limbs(r + 7, x);
@@ -296,7 +409,7 @@ PreflightOut preflight(
         }
         uint32_t v = (oi == 0 || oi == 1) ? q : rr;
         uint32_t prev = regs.write(a / 4, v, ts + 2, &pw);
-        ROW(DIVREM, r);
+        int64_t* r = vm->recs[DIVREM].row();
         r[0] = pc; r[1] = ts; r[2] = oi; r[3] = a / 4; r[4] = b / 4;
         r[5] = c / 4;
         put_limbs(r + 6, x); put_limbs(r + 10, y);
@@ -317,7 +430,7 @@ PreflightOut preflight(
           v = static_cast<uint32_t>(prod >> 32);
         }
         uint32_t prev = regs.write(a / 4, v, ts + 2, &pw);
-        ROW(MULC, r);
+        int64_t* r = vm->recs[MULC].row();
         r[0] = pc; r[1] = ts; r[2] = oi; r[3] = a / 4; r[4] = b / 4;
         r[5] = c / 4;
         put_limbs(r + 6, x); put_limbs(r + 10, y); put_limbs(r + 14, v);
@@ -343,7 +456,7 @@ PreflightOut preflight(
       }
       int32_t off = c > kP / 2 ? static_cast<int32_t>(c - kP) : c;
       uint32_t to_pc = taken ? pc + off : pc + 4;
-      ROW(is_eq ? BEQC : BLTC, r);
+      int64_t* r = vm->recs[is_eq ? BEQC : BLTC].row();
       r[0] = pc; r[1] = ts; r[2] = oi; r[3] = a / 4; r[4] = b / 4; r[5] = c;
       put_limbs(r + 6, x); put_limbs(r + 10, y);
       r[14] = to_pc; r[15] = p1; r[16] = p2;
@@ -363,7 +476,7 @@ PreflightOut preflight(
       }
       uint32_t pw = 0, prev = 0;
       if (nw) prev = regs.write(a / 4, rd_val, ts, &pw);
-      ROW(JALLUI, r);
+      int64_t* r = vm->recs[JALLUI].row();
       r[0] = pc; r[1] = ts; r[2] = is_jal ? 0 : 1; r[3] = a / 4; r[4] = c;
       r[5] = nw;
       put_limbs(r + 6, nw ? rd_val : 0);
@@ -382,7 +495,7 @@ PreflightOut preflight(
       uint32_t rd_val = pc + 4;
       uint32_t pw = 0, prev = 0;
       if (nw) prev = regs.write(a / 4, rd_val, ts + 1, &pw);
-      ROW(JALRC, r);
+      int64_t* r = vm->recs[JALRC].row();
       r[0] = pc; r[1] = ts; r[2] = a / 4; r[3] = b / 4; r[4] = c; r[5] = g;
       r[6] = nw;
       put_limbs(r + 7, x);
@@ -395,7 +508,7 @@ PreflightOut preflight(
       uint32_t rd_val = pc + (c << 8);
       uint32_t pw;
       uint32_t prev = regs.write(a / 4, rd_val, ts, &pw);
-      ROW(AUIPCC, r);
+      int64_t* r = vm->recs[AUIPCC].row();
       r[0] = pc; r[1] = ts; r[2] = a / 4; r[3] = c;
       put_limbs(r + 4, rd_val);
       r[8] = pw;
@@ -413,7 +526,11 @@ PreflightOut preflight(
       uint32_t wa = full >> 2, shift = full & 3;
       uint32_t data2, new3, prev = 0;
       if (is_load) {
-        if (e != 2 || wa >= (1u << 27)) { res.error = 1; break; }
+        if (e != 2 || wa >= (1u << 27)) {
+          vm->mem_error = 1;
+          out.status = ST_MEM_ERROR;
+          goto stop;
+        }
         data2 = mem.read(wa, ts + 1, &p2);
         const uint8_t* db = reinterpret_cast<const uint8_t*>(&data2);
         switch (op) {
@@ -431,9 +548,10 @@ PreflightOut preflight(
         Memory* m = nullptr;
         if (e == 2) m = &mem;
         else if (e == 3) m = &pvs;
-        else { res.error = 1; break; }
-        if ((e == 2 && wa >= (1u << 27)) || (e == 3 && wa >= 8)) {
-          res.error = 1; break;
+        if (!m || (e == 2 && wa >= (1u << 27)) || (e == 3 && wa >= 64)) {
+          vm->mem_error = 1;
+          out.status = ST_MEM_ERROR;
+          goto stop;
         }
         uint32_t cur = m->peek_val(wa);
         uint8_t nb[4];
@@ -445,89 +563,69 @@ PreflightOut preflight(
         std::memcpy(&new3, nb, 4);
         prev = m->write(wa, new3, ts + 2, &pw);
       }
-      ROW(LS, r);
-      r[0] = pc; r[1] = ts; r[2] = oi; r[3] = a / 4; r[4] = b / 4; r[5] = c;
-      r[6] = g; r[7] = e; r[8] = nw;
-      put_limbs(r + 9, x);
-      r[13] = wa; r[14] = shift & 1; r[15] = shift >> 1;
-      put_limbs(r + 16, data2);
-      put_limbs(r + 20, new3);
-      r[24] = p1; r[25] = p2; r[26] = is_load && !nw ? 0 : pw;
-      put_limbs(r + 27, is_load && !nw ? 0 : prev);
+      {
+        int64_t* r = vm->recs[LS].row();
+        r[0] = pc; r[1] = ts; r[2] = oi; r[3] = a / 4; r[4] = b / 4;
+        r[5] = c; r[6] = g; r[7] = e; r[8] = nw;
+        put_limbs(r + 9, x);
+        r[13] = wa; r[14] = shift & 1; r[15] = shift >> 1;
+        put_limbs(r + 16, data2);
+        put_limbs(r + 20, new3);
+        r[24] = p1; r[25] = p2; r[26] = is_load && !nw ? 0 : pw;
+        put_limbs(r + 27, is_load && !nw ? 0 : prev);
+      }
       pc += 4; ts += 3;
 
-    } else if (op == HINT_STOREW || op == HINT_BUFFER) {
-      const int is_buf = (op == HINT_BUFFER);
-      uint32_t p1, p2 = 0;
-      uint32_t ptr_v = regs.read(b / 4, ts, &p1);
-      uint32_t len_v = 0;
-      if (is_buf) len_v = regs.read(a / 4, ts + 1, &p2);
-      uint32_t num_words = is_buf ? len_v : 1;
-      if (ptr_v % 4 != 0 || num_words == 0) { res.error = 1; break; }
-      if (hint.size() - hint_pos < 4ull * num_words) { res.error = 3; break; }
-      for (uint32_t k = 0; k < num_words; k++) {
-        uint32_t wa = ptr_v / 4 + k;
-        if (wa >= (1u << 27)) { res.error = 1; break; }
-        uint32_t data;
-        std::memcpy(&data, hint.data() + hint_pos + 4 * k, 4);
-        uint32_t pw;
-        uint32_t prev = mem.write(wa, data, ts + 2 + k, &pw);
-        ROW(HINT, r);
-        r[0] = pc; r[1] = ts; r[2] = (k == 0); r[3] = is_buf;
-        r[4] = a / 4; r[5] = b / 4; r[6] = num_words - k; r[7] = wa;
-        r[8] = ts + 2 + k;
-        put_limbs(r + 9, ptr_v);
-        put_limbs(r + 13, is_buf ? len_v : 0);
-        put_limbs(r + 17, data);
-        r[21] = p1; r[22] = is_buf ? p2 : 0; r[23] = pw;
-        put_limbs(r + 24, prev);
-      }
-      if (res.error) break;
-      hint_pos += 4ull * num_words;
-      pc += 4; ts += 2 + num_words;
-
-    } else if (op == PHANTOM) {
-      uint16_t disc = c & 0xFFFF;
-      if (disc == kHintInput) {
-        if (next_input >= n_inputs) { res.error = 4; break; }
-        int64_t len = input_lens[next_input];
-        hint.clear();
-        hint_pos = 0;
-        uint32_t l32 = static_cast<uint32_t>(len);
-        hint.insert(hint.end(), reinterpret_cast<uint8_t*>(&l32),
-                    reinterpret_cast<uint8_t*>(&l32) + 4);
-        hint.insert(hint.end(), input_ptr, input_ptr + len);
-        while (hint.size() % 4) hint.push_back(0);
-        input_ptr += len;
-        next_input++;
-      }
-      ROW(PHANTOMC, r);
-      r[0] = pc; r[1] = ts; r[2] = a; r[3] = b; r[4] = c;
-      pc += 4; ts += 1;
-
     } else {
-      res.error = 2;
+      // TERMINATE, PHANTOM, HINT_*, every extension opcode: Python's turn
+      out.status = ST_YIELD;
+      out.yield_op = op;
       break;
     }
+    vm->exec_counts[idx]++;
+    instret++;
   }
-done:
+stop:
+  out.pc = pc;
+  out.ts = ts;
+  out.instret = instret;
+  out.n_touched = static_cast<int64_t>(vm->touch_order.size());
+  out.cpp_cells = vm->cpp_cells();
+  return out;
+}
 
-  for (int i = 0; i < NUM_CHIPS; i++) rec_counts[i] = recs[i].n;
-  // touched output (insertion order; python sorts)
+// Segmentation check entry for Python-dispatched instructions (extension
+// chips): returns 1 if the segment should end at the current instret.
+int64_t pf_vm_should_segment(void* h, uint64_t ts, int64_t py_cells,
+                             int64_t py_inters, int64_t py_max_height) {
+  PfVm* vm = static_cast<PfVm*>(h);
+  return vm->should_segment(ts, py_cells, py_inters, py_max_height) ? 1 : 0;
+}
+
+int64_t pf_vm_rec_count(void* h, int64_t chip) {
+  return static_cast<PfVm*>(h)->recs[chip].n;
+}
+
+void pf_vm_rec_copy(void* h, int64_t chip, int64_t* out_buf) {
+  Rec& r = static_cast<PfVm*>(h)->recs[chip];
+  if (!r.count_only && r.n)
+    std::memcpy(out_buf, r.buf.data(),
+                static_cast<size_t>(r.n) * r.width * sizeof(int64_t));
+}
+
+int64_t pf_vm_touched_count(void* h) {
+  return static_cast<int64_t>(static_cast<PfVm*>(h)->touch_order.size());
+}
+
+// rows: as, wa, i0..3, f0..3, ts (11 cols, insertion order)
+void pf_vm_touched_copy(void* h, int64_t* out) {
+  PfVm* vm = static_cast<PfVm*>(h);
   int64_t nt = 0;
-  if (count_only) {
-    res.n_touched = static_cast<int64_t>(touch_order.size());
-    res.instret = instret;
-    res.final_pc = pc;
-    res.final_ts = ts;
-    return res;
-  }
-  for (int64_t key : touch_order) {
-    if (nt >= touched_cap) { res.error = 6; break; }
+  for (int64_t key : vm->touch_order) {
     int64_t a_s = key >> 27;
     uint32_t wa = key & ((1 << 27) - 1);
-    Memory* m = a_s == 1 ? &regs : (a_s == 2 ? &mem : &pvs);
-    int64_t* row = touched_out + nt * 11;
+    Memory* m = vm->space(a_s);
+    int64_t* row = out + nt * 11;
     row[0] = a_s;
     row[1] = wa;
     put_limbs(row + 2, m->peek_init(wa));
@@ -535,11 +633,67 @@ done:
     row[10] = m->peek_ts(wa);
     nt++;
   }
-  res.n_touched = nt;
-  res.instret = instret;
-  res.final_pc = pc;
-  res.final_ts = ts;
-  return res;
+}
+
+// Segment boundary: drop records + touched/ts state, keep memory values,
+// zero the per-pc execution counts.  Streams and pc/ts ownership stay on
+// the Python side.
+void pf_vm_segment_reset(void* h) {
+  PfVm* vm = static_cast<PfVm*>(h);
+  for (int i = 0; i < NUM_CHIPS; i++) vm->recs[i].reset();
+  vm->touch_order.clear();
+  vm->regs.segment_reset();
+  vm->mem.segment_reset();
+  vm->pvs.segment_reset();
+  std::memset(vm->exec_counts, 0, vm->n_insns * sizeof(int64_t));
+  vm->last_check = 0;
+}
+
+// --- memory access for Python-dispatched (extension) instructions --------
+
+int64_t pf_vm_mem_error(void* h) { return static_cast<PfVm*>(h)->mem_error; }
+
+void pf_vm_read_words(void* h, int64_t a_s, const int64_t* was,
+                      const int64_t* nows, int64_t n, int64_t* vals,
+                      int64_t* prev_ts) {
+  PfVm* vm = static_cast<PfVm*>(h);
+  Memory* m = vm->space(a_s);
+  if (!m) { vm->mem_error = 1; return; }
+  size_t limit = m->n_words();
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t wa = static_cast<uint32_t>(was[i]);
+    if (wa >= limit) { vm->mem_error = 1; return; }
+    uint32_t pts;
+    vals[i] = m->read(wa, static_cast<uint32_t>(nows[i]), &pts);
+    prev_ts[i] = pts;
+  }
+}
+
+void pf_vm_write_words(void* h, int64_t a_s, const int64_t* was,
+                       const int64_t* vals, const int64_t* nows, int64_t n,
+                       int64_t* prevs, int64_t* prev_ts) {
+  PfVm* vm = static_cast<PfVm*>(h);
+  Memory* m = vm->space(a_s);
+  if (!m) { vm->mem_error = 1; return; }
+  size_t limit = m->n_words();
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t wa = static_cast<uint32_t>(was[i]);
+    if (wa >= limit) { vm->mem_error = 1; return; }
+    uint32_t pts;
+    prevs[i] = m->write(wa, static_cast<uint32_t>(vals[i]),
+                        static_cast<uint32_t>(nows[i]), &pts);
+    prev_ts[i] = pts;
+  }
+}
+
+int64_t pf_vm_peek_word(void* h, int64_t a_s, int64_t wa) {
+  PfVm* vm = static_cast<PfVm*>(h);
+  Memory* m = vm->space(a_s);
+  if (!m || static_cast<size_t>(wa) >= m->n_words()) {
+    vm->mem_error = 1;
+    return 0;
+  }
+  return m->peek_val(static_cast<uint32_t>(wa));
 }
 
 }  // extern "C"

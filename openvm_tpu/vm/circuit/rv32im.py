@@ -725,6 +725,13 @@ class JalrAir(Air):
 
 
 class AuipcAir(Air):
+    """rd = pc + (imm << 8) wrapping mod 2^32, computed limb-wise with
+    boolean carries (reference Rv32AuipcCoreAir,
+    extensions/rv32im/circuit/src/auipc/core.rs:81-135): a single
+    field-element identity both fails on u32 wraparound (real linker
+    immediates) and aliases mod P.  rd[0] = pc byte 0 since imm<<8 has a
+    zero low byte; pc's top byte is derived from the decomposition and
+    range-checked to 6 bits (pc < 2^30)."""
     name = "rv32_auipc"
 
     def __init__(self):
@@ -732,6 +739,7 @@ class AuipcAir(Air):
         c.alloc("is_valid"), c.alloc("pc"), c.alloc("ts")
         c.alloc("a"), c.alloc("imm")
         c.alloc("rd", 4)
+        c.alloc("il", 3), c.alloc("pl", 2)
         c.alloc("p_tsw"), c.alloc("dlow"), c.alloc("dhiw")
         c.alloc("prevw", 4)
         self.width = c.width
@@ -742,13 +750,36 @@ class AuipcAir(Air):
         pc, ts = _m(b, c, "pc"), _m(b, c, "ts")
         oa, imm = _m(b, c, "a"), _m(b, c, "imm")
         rd = _marr(b, c, "rd", 4)
+        il = _marr(b, c, "il", 3)
+        pl = _marr(b, c, "pl", 2)
 
         b.assert_bool(v)
         B.fetch(b, pc, Rv32AuipcOpcode.AUIPC, [4 * oa, 0, imm, 1, 0, 0, 0],
                 v)
         B.exec_receive(b, pc, ts, v)
         B.exec_send(b, pc + 4, ts + 1, v)
-        b.assert_zero(v * (limbs_to_u32(rd) - (pc + imm * 256)))
+
+        # bind the witness limbs: imm (24-bit operand) and pc bytes 1..2;
+        # pc byte 3 is derived, byte 0 is rd[0]
+        b.assert_zero(v * (imm - il[0] - il[1] * 256 - il[2] * 65536))
+        inv24 = pow(1 << 24, -1, P)
+        pmsl = (pc - rd[0] - pl[0] * 256 - pl[1] * 65536) * inv24
+        # limb-wise addition rd = pc + imm*256 with boolean carries; the
+        # final carry is dropped (wrap mod 2^32)
+        inv8 = pow(256, -1, P)
+        c1 = (pl[0] + il[0] - rd[1]) * inv8
+        c2 = (pl[1] + il[1] + c1 - rd[2]) * inv8
+        c3 = (pmsl + il[2] + c2 - rd[3]) * inv8
+        for cy in (c1, c2, c3):
+            b.assert_zero(v * cy * (cy - 1))
+
+        B.byte_pair_check(b, il[0], il[1], v)
+        B.byte_pair_check(b, il[2], pl[0], v)
+        B.byte_pair_check(b, pl[1], rd[0], v)
+        B.byte_pair_check(b, rd[1], rd[2], v)
+        B.byte_pair_check(b, rd[3], 0, v)
+        B.range_check(b, pmsl, 6, v)
+
         B.mem_write(b, B.AS_REGISTER, oa, rd, _marr(b, c, "prevw", 4),
                     _m(b, c, "p_tsw"), ts, _m(b, c, "dlow"),
                     _m(b, c, "dhiw"), v)
@@ -763,6 +794,12 @@ class AuipcAir(Air):
         for nm in ("pc", "ts", "a", "imm", "p_tsw"):
             t[:n, c.index[nm]] = rec[nm]
         t[:n, c.index["rd"]:c.index["rd"] + 4] = rec["rd"]
+        imm = np.asarray(rec["imm"], dtype=np.uint64)
+        pc_ = np.asarray(rec["pc"], dtype=np.uint64)
+        for k in range(3):
+            t[:n, c.index["il"] + k] = (imm >> (8 * k)) & 0xFF
+        t[:n, c.index["pl"] + 0] = (pc_ >> 8) & 0xFF
+        t[:n, c.index["pl"] + 1] = (pc_ >> 16) & 0xFF
         lo, hi = _ts_diff(rec["p_tsw"], rec["ts"])
         t[:n, c.index["dlow"]] = lo
         t[:n, c.index["dhiw"]] = hi

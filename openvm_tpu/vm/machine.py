@@ -205,35 +205,82 @@ class VirtualMachine:
         lde = ntt.coset_lde(dev, self.config.stark.fri.log_blowup)
         return merkle.commit([lde]).root
 
+    # -- preflight plumbing (hybrid C++/Python core) ----------------------
+    def _new_handle(self, exe: VmExe):
+        """NativeVmHandle for the hybrid preflight: C++ executes RV32IM
+        runs and yields extension opcodes to Python.  None when the C++
+        toolchain is unavailable, or for the native (recursion) VM whose
+        AS-4 felt memory model lives in Python."""
+        if self.config.native:
+            return None
+        try:
+            from .native import NativeVmHandle
+            return NativeVmHandle(exe)
+        except (OSError, ImportError) as ex:
+            import subprocess
+            if isinstance(ex, subprocess.CalledProcessError):
+                raise
+            return None
+
+    def _interp(self, exe: VmExe) -> PreflightInterpreter:
+        return PreflightInterpreter(
+            exe, (self.config.num_native_pvs if self.config.native
+                  else self.config.num_pv_words),
+            moduli=self.config.moduli, curves=self.config.curves,
+            fp2=self.config.fp2)
+
+    def _segment_ctx(self, nvm, limits: dict | None = None):
+        """Install metered segmentation thresholds on the handle and build
+        the Python-side extension accounting (reference SegmentationLimits
+        defaults, segment_ctx.rs:6-10; the powdr fork's
+        POWDR_OPENVM_SEGMENT_DELTA timestamp-pressure knob is honored)."""
+        import os as _os
+        from .preflight import SegmentCtx
+        assert self.pk is not None, "segmentation needs keygen() heights"
+        max_log = self.config.stark.fri.max_log_trace_height
+        cap = 1 << max_log
+        defaults = {
+            "max_height": cap - 10000 if cap > 20000 else cap,
+            "max_cells": 2_000_000_000,
+            "max_interactions": P,
+            "check_insns": 1000,
+        }
+        defaults.update(limits or {})
+        widths = {a.name: a.width for a in self.airs}
+        inters = {a.name: len(self.pk.vk.per_air[i].dag.interactions)
+                  for i, a in enumerate(self.airs)}
+        ts_delta = int(_os.environ.get("POWDR_OPENVM_SEGMENT_DELTA", -1))
+        # per-touched-word trace pressure: one boundary row per word plus
+        # merkle path rows (amortized estimate; paths share prefixes)
+        tw = widths.get("persistent_boundary", 0) \
+            + 4 * widths.get("memory_merkle", 0)
+        ti = inters.get("persistent_boundary", 0) \
+            + 4 * inters.get("memory_merkle", 0)
+        nvm.set_limits(max_height=defaults["max_height"],
+                       max_cells=defaults["max_cells"],
+                       max_interactions=defaults["max_interactions"],
+                       ts_delta=ts_delta,
+                       check_insns=defaults["check_insns"],
+                       widths=widths, inters=inters,
+                       touched_width=tw, touched_inters=ti)
+        return SegmentCtx(widths=widths, inters=inters)
+
     # -- metered execution (E2 role: trace-height accounting) ------------
     def execute_metered(self, exe: VmExe, inputs=None, max_insns=None):
         """Count-only execution returning per-chip trace heights.
 
         The reference's metered mode (SURVEY.md section 2.1 "execution
-        modes") sizes traces and picks segment boundaries; this returns the
-        height accounting for the single-segment case (multi-segment
-        continuations are the next milestone).
-        """
-        pre = None
-        try:
-            from .native import native_preflight
-            pre = native_preflight(exe, inputs, max_insns)
-        except (OSError, ImportError):
-            pre = None
-        except Exception as ex:
-            if "unsupported opcode" not in str(ex):
-                raise
-        if pre is None:  # no toolchain / extension opcodes: python fallback
-            pre = PreflightInterpreter(
-                exe, (self.config.num_native_pvs if self.config.native
-                      else self.config.num_pv_words),
-                moduli=self.config.moduli,
-                curves=self.config.curves,
-                fp2=self.config.fp2).execute(inputs, max_insns)
+        modes") sizes traces and picks segment boundaries.  On the hybrid
+        core the C++ chips allocate NO record buffers (count-only rows,
+        reference metered execution's height counters)."""
+        nvm = self._new_handle(exe)
+        if nvm is not None:
+            nvm.set_mode(True)
+        pre = self._interp(exe).execute(inputs, max_insns, nvm=nvm)
         heights = {}
         for air in self.airs[self.NUM_SYSTEM_AIRS:]:
             rec = pre.records.get(air.name)
-            n = len(rec["pc"]) if rec else 1
+            n = len(next(iter(rec.values()))) if rec else 1
             heights[air.name] = 1 << max((n - 1).bit_length(), 0)
         max_h = self.config.stark.fri.max_log_trace_height
         fits = all(h <= (1 << max_h) for h in heights.values())
@@ -310,29 +357,14 @@ class VirtualMachine:
     # -- proving ---------------------------------------------------------
     def prove(self, exe: VmExe, inputs=None, max_insns=None, debug=False,
               native=True, state=None, initial_tree=None,
-              fixed_heights: dict | None = None):
+              fixed_heights: dict | None = None, nvm=None, seg_ctx=None):
         assert self.pk is not None, "call keygen() first"
-        pre = None
-        if state is not None:
-            native = False
-        if native:
-            try:
-                from .native import native_preflight
-                pre = native_preflight(exe, inputs, max_insns)
-            except (OSError, ImportError):
-                pre = None  # no toolchain: python fallback
-            except Exception as ex:
-                # extension opcodes the C++ preflight doesn't cover yet
-                if "unsupported opcode" not in str(ex):
-                    raise
-                pre = None
-        if pre is None:
-            pre = PreflightInterpreter(
-                exe, (self.config.num_native_pvs if self.config.native
-                      else self.config.num_pv_words),
-                moduli=self.config.moduli,
-                curves=self.config.curves,
-                fp2=self.config.fp2).execute(inputs, max_insns, state=state)
+        if native and nvm is None and state is None:
+            nvm = self._new_handle(exe)
+        if nvm is not None:
+            nvm.set_mode(False)
+        pre = self._interp(exe).execute(inputs, max_insns, state=state,
+                                        nvm=nvm, seg_ctx=seg_ctx)
 
         traces: dict[str, np.ndarray] = {}
         # program: cached [pc|opcode|operands], common [mult]
@@ -576,27 +608,44 @@ class VirtualMachine:
 
     # -- continuations ---------------------------------------------------
     def prove_continuations(self, exe: VmExe, inputs=None,
-                            max_insns_per_segment: int = 1 << 20,
+                            max_insns_per_segment: int | None = None,
+                            segment_limits: dict | None = None,
                             debug=False):
-        """Segmented proving (persistent mode): suspend at the instruction
-        budget, carry VmState, chain (pc, memory-root) across segments
-        (reference VmInstance::prove_continuations, arch/vm.rs:966-1021).
+        """Segmented proving (persistent mode): run until a metered
+        segmentation limit trips (live trace-height / cells / interactions
+        accounting, reference segment_ctx.rs:135-217) or the optional
+        instruction budget, carry VmState, chain (pc, memory-root) across
+        segments (reference VmInstance::prove_continuations,
+        arch/vm.rs:966-1021).  One NativeVmHandle spans all segments:
+        memory persists in C++; records/touched state reset per segment.
         """
         assert self.config.persistent, "continuations need persistent mode"
         tree, words = self._initial_tree(exe)
+        nvm = self._new_handle(exe)
+        seg_ctx = None
+        if nvm is not None:
+            seg_ctx = self._segment_ctx(nvm, segment_limits)
+        elif max_insns_per_segment is None:
+            max_insns_per_segment = 1 << 20  # python fallback: insn budget
         state = None
         proofs = []
         while True:
             proof, pre = self.prove(
                 exe, inputs=inputs if state is None else None,
                 max_insns=max_insns_per_segment, state=state,
-                initial_tree=(tree, dict(words)), native=False, debug=debug)
+                initial_tree=(tree, dict(words)), native=nvm is not None,
+                nvm=nvm, seg_ctx=seg_ctx, debug=debug)
             proofs.append(proof)
+            for k, w in pre.touched.items():
+                words[k] = list(w[:4])
             if pre.exit_code is not None:
                 return proofs, pre.final_memory_tree
             state = pre.suspended_state
             tree = pre.final_memory_tree
-            words = state["memory_words"]
+            if nvm is not None:
+                nvm.segment_reset()
+            else:
+                words = state["memory_words"]
 
     def verify_segments(self, proofs, exe: VmExe,
                         expected_exe_commit=None):

@@ -52,6 +52,19 @@ class PreflightResult:
     instret: int = 0
     public_values: list = None  # 4*num_pv_words bytes
     suspended_state: dict = None  # set when max_insns hit (segment suspend)
+    segment_full: bool = False  # suspend cause was a metered limit
+
+
+@dataclass
+class SegmentCtx:
+    """Python-side extension-chip accounting for metered segmentation.
+
+    Mirrors the reference's SegmentationCtx widths/interactions vectors
+    (crates/vm/src/arch/execution_mode/metered/segment_ctx.rs:40-67): the
+    C++ core owns the RV32IM chips' accounting; these dicts cover the
+    chips whose records are produced by the Python dispatch loop."""
+    widths: dict = field(default_factory=dict)   # chip -> trace width
+    inters: dict = field(default_factory=dict)   # chip -> msgs per row
 
 
 class PreflightMemory:
@@ -111,15 +124,38 @@ class PreflightInterpreter:
         self.fp2 = tuple(fp2)
 
     def execute(self, inputs=None, max_insns: int | None = None,
-                state: dict | None = None) -> PreflightResult:
+                state: dict | None = None, nvm=None,
+                seg_ctx: "SegmentCtx | None" = None) -> PreflightResult:
         """state (continuation segments): {"pc", "memory_words", "streams"}.
 
         When `max_insns` is reached the run SUSPENDS (reference exit code
         42 convention): exit_code stays None and the result carries the
         resumable state in `.suspended_state`.
+
+        nvm (hybrid mode): a native.NativeVmHandle.  RV32IM instruction
+        runs execute in C++ on the handle's memory/records; this loop only
+        dispatches the opcodes the core yields on (extensions, phantom,
+        hints, terminate).  Word memory lives in the handle (shared via
+        the shim), so state dicts carry no memory_words.
+
+        seg_ctx (metered segmentation): trace widths/interactions for the
+        Python-side extension chips; combined with the handle's own
+        accounting in the reference's should_segment check
+        (segment_ctx.rs:135-217).  On a boundary the run suspends with
+        `segment_full` set.
         """
         exe = self.exe
-        if state is not None:
+        if nvm is not None:
+            mem = nvm.shim
+            if state is not None:
+                streams = state["streams"]
+                pc = state["pc"]
+            else:
+                streams = Streams()
+                if inputs:
+                    streams.input_stream = [list(x) for x in inputs]
+                pc = exe.pc_start
+        elif state is not None:
             mem = PreflightMemory({}, initial_words=state["memory_words"])
             streams = state["streams"]
             pc = state["pc"]
@@ -140,11 +176,40 @@ class PreflightInterpreter:
             data, pts = mem.read(1, idx, ts + tick)
             return data, pts
 
+        def py_stats():
+            if seg_ctx is None:
+                return 0, 0, 0
+            cells = inters = maxh = 0
+            for chip, cols in recs.items():
+                n = len(next(iter(cols.values())))
+                cells += n * seg_ctx.widths.get(chip, 0)
+                inters += (n + 1) * seg_ctx.inters.get(chip, 0)
+                maxh = max(maxh, n)
+            return cells, inters, maxh
+
         suspended = False
+        segment_full = False
         while exit_code is None:
             if max_insns is not None and instret >= max_insns:
                 suspended = True  # segment boundary (reference exit code 42)
                 break
+            if nvm is not None:
+                cells, inters, maxh = py_stats()
+                r = nvm.run(pc, ts, instret, max_insns or 0, cells, inters,
+                            maxh)
+                pc, ts, instret = int(r.pc), int(r.ts), int(r.instret)
+                from .native import (PF_INSN_LIMIT, PF_MEM_ERROR,
+                                     PF_SEGMENT_FULL)
+                if r.status == PF_INSN_LIMIT:
+                    suspended = True
+                    break
+                if r.status == PF_SEGMENT_FULL:
+                    suspended = segment_full = True
+                    break
+                if r.status == PF_MEM_ERROR:
+                    raise ExecutionError("memory access out of bounds")
+                # PF_YIELD: dispatch the instruction at pc below, then
+                # re-enter the native core
             idx = (pc - pc_base) // step
             insn = exe.program.get(pc)
             if insn is None:
@@ -1158,22 +1223,39 @@ class PreflightInterpreter:
         for chip, cols in recs.items():
             out[chip] = {k: np.asarray(v, dtype=np.uint64)
                          for k, v in cols.items()}
+        if nvm is not None:
+            # RV32IM records, touched-word set and per-pc execution counts
+            # live in the C++ handle; Python holds the extension chips only
+            out.update(nvm.drain_records())
+            touched, init_words = nvm.drain_touched()
+            counts = dict(exec_counts)
+            for i in np.nonzero(nvm.exec_counts)[0]:
+                counts[int(i)] = counts.get(int(i), 0) \
+                    + int(nvm.exec_counts[i])
+        else:
+            touched, init_words = dict(mem.words), dict(mem.init_words)
+            counts = dict(exec_counts)
         pvs = [0] * (4 * self.num_pv_words)
         for i in range(self.num_pv_words):
-            w = mem.words.get((3, i))
+            w = touched.get((3, i))
             if w:
                 pvs[4 * i:4 * i + 4] = w[:4]
         result = PreflightResult(
-            records=out, touched=dict(mem.words),
-            init_words=dict(mem.init_words), exec_counts=dict(exec_counts),
-            final_pc=pc, final_ts=ts, exit_code=exit_code, instret=instret,
-            public_values=pvs)
+            records=out, touched=touched, init_words=init_words,
+            exec_counts=counts, final_pc=pc, final_ts=ts,
+            exit_code=exit_code, instret=instret, public_values=pvs,
+            segment_full=segment_full)
         if suspended:
-            carried = {k: list(v) for k, v in mem._image.items()}
-            for (a_s, wa), w in mem.words.items():
-                carried[(a_s, wa)] = list(w[:4])
-            result.suspended_state = {"pc": pc, "memory_words": carried,
-                                      "streams": streams}
+            if nvm is not None:
+                # memory stays in the handle across segments; the state
+                # dict carries only control flow + streams
+                result.suspended_state = {"pc": pc, "streams": streams}
+            else:
+                carried = {k: list(v) for k, v in mem._image.items()}
+                for (a_s, wa), w in mem.words.items():
+                    carried[(a_s, wa)] = list(w[:4])
+                result.suspended_state = {"pc": pc, "memory_words": carried,
+                                          "streams": streams}
         return result
 
 
