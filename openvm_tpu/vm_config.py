@@ -82,6 +82,12 @@ def config_from_dict(doc: dict) -> Rv32Config:
         kw["executors"] = FULL_EXECUTORS
     if "bigint" in app:
         kw["bigint"] = True
+    if "keccak" in app:
+        kw["keccak"] = True
+    if "sha256" in app:
+        kw["sha256"] = True
+    if "native" in app:
+        kw["native"] = True
     if "modular" in app:
         kw["moduli"] = tuple(_to_int(m) for m in
                              app["modular"].get("supported_moduli", []))
@@ -94,6 +100,17 @@ def config_from_dict(doc: dict) -> Rv32Config:
     sys_cfg = app.get("system", {})
     if "num_public_values" in sys_cfg:
         kw["num_pv_words"] = int(sys_cfg["num_public_values"]) // 4
+    if sys_cfg.get("continuations"):
+        kw["persistent"] = True
+    # [fri_params] — reference AppConfig.app_fri_params
+    # (crates/sdk/src/config/mod.rs:34-101)
+    fri_cfg = doc.get("fri_params", doc.get("app_fri_params", {}))
+    if fri_cfg:
+        from .stark import FriParameters, StarkConfig
+        kw["stark"] = StarkConfig(fri=FriParameters(
+            log_blowup=int(fri_cfg.get("log_blowup", 1)),
+            num_queries=int(fri_cfg.get("num_queries", 33)),
+            proof_of_work_bits=int(fri_cfg.get("proof_of_work_bits", 16))))
     return Rv32Config(**kw)
 
 
