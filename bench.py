@@ -12,7 +12,13 @@ publishes no absolute numbers; BASELINE.json.published={}).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 BENCH_MODE=commit switches to the round-1 trace-commit microbench
-(coset LDE + Poseidon2-Merkle commit, cells/s).
+(coset LDE + Poseidon2-Merkle commit, cells/s); BENCH_MODE=synthetic
+proves the round-1 hand-assembled fibonacci guest; BENCH_MODE=keccak
+proves the reference's real keccak256 guest ELF with continuations.
+The default mode proves the reference's REAL compiler-generated
+`fibonacci` guest ELF (benchmarks/guest/fibonacci, n = BENCH_FIB_N fed
+via the hint stream) and falls back to synthetic when /root/reference
+is absent.
 """
 
 import json
@@ -26,6 +32,16 @@ WIDTH = int(os.environ.get("BENCH_WIDTH", "64"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 VM_N = int(os.environ.get("BENCH_VM_N", "20000"))
 VM_CPU_N = int(os.environ.get("BENCH_VM_CPU_N", "2500"))
+FIB_N = int(os.environ.get("BENCH_FIB_N", "30000"))
+FIB_CPU_N = int(os.environ.get("BENCH_FIB_CPU_N", "1000"))
+
+REAL_FIB_ELF = ("/root/reference/benchmarks/guest/fibonacci/elf/"
+                "openvm-fibonacci-program.elf")
+REAL_KECCAK_ELF = ("/root/reference/benchmarks/guest/keccak256/elf/"
+                   "openvm-keccak256-program.elf")
+# executor set covering the fibonacci guest's executed instruction mix
+REAL_ELF_EXECUTORS = ("alu", "lt", "beq", "blt", "jal_lui", "jalr",
+                      "auipc", "loadstore", "shift", "hintstore")
 
 
 def run_commit_bench() -> float:
@@ -87,8 +103,63 @@ def run_vm_prove(n_iters: int) -> dict:
             "cells": cells, "cells_per_s": cells / t_prove}
 
 
+def run_real_elf_prove(n_loop: int) -> dict:
+    """Full proof of the reference's real fibonacci guest ELF
+    (benchmarks/guest/fibonacci: reads u64 n from the hint stream, loops,
+    reveals fib(n) mod 2^64).  Returns timing breakdown."""
+    from openvm_tpu.vm.elf import load_elf
+    from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
+    from openvm_tpu.vm.transpiler import transpile_elf
+
+    exe = transpile_elf(load_elf(open(REAL_FIB_ELF, "rb").read()))
+    inputs = [list(int(n_loop).to_bytes(8, "little"))]
+    vm = VirtualMachine(Rv32Config(executors=REAL_ELF_EXECUTORS))
+    t0 = time.time()
+    vm.keygen()
+    t_keygen = time.time() - t0
+    # warm-up proof compiles every prover kernel for this shape (the
+    # reference's benches similarly exclude one-time `cargo openvm setup`)
+    proof, pre = vm.prove(exe, inputs=inputs)
+    t0 = time.time()
+    proof, pre = vm.prove(exe, inputs=inputs)
+    t_prove = time.time() - t0
+    vm.verify(proof)
+    cells = sum((1 << p.log_degree)
+                * (vm.airs[p.air_id].width
+                   + sum(vm.airs[p.air_id].cached_main_widths))
+                for p in proof.per_air)
+    return {"insns": pre.instret, "prove_s": t_prove, "keygen_s": t_keygen,
+            "insn_per_s": pre.instret / t_prove,
+            "cells": cells, "cells_per_s": cells / t_prove}
+
+
+def run_keccak_elf_prove() -> dict:
+    """Continuations proof of the reference's real keccak256 guest ELF
+    (benchmarks/guest/keccak256) — metered trace-height segmentation,
+    keccak extension chips, segment verification chain."""
+    from openvm_tpu.vm.elf import load_elf
+    from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
+    from openvm_tpu.vm.transpiler import transpile_elf
+
+    exe = transpile_elf(load_elf(open(REAL_KECCAK_ELF, "rb").read()))
+    vm = VirtualMachine(Rv32Config(keccak=True, persistent=True))
+    t0 = time.time()
+    vm.keygen()
+    t_keygen = time.time() - t0
+    t0 = time.time()
+    proofs = vm.prove_continuations(exe)
+    t_prove = time.time() - t0
+    vm.verify_segments(exe, proofs)
+    insns = 4325750  # E1 instret of this guest (fixed workload)
+    return {"insns": insns, "segments": len(proofs),
+            "prove_s": t_prove, "keygen_s": t_keygen,
+            "insn_per_s": insns / t_prove}
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "vm_prove")
+    if mode == "vm_prove" and not os.path.exists(REAL_FIB_ELF):
+        mode = "synthetic"
     if mode == "commit":
         if os.environ.get("BENCH_BACKEND") == "cpu":
             import jax
@@ -120,19 +191,45 @@ def main():
         print(json.dumps(run_vm_prove(VM_CPU_N)))
         return
 
-    res = run_vm_prove(VM_N)
-    cpu_rate = None
-    try:
-        env = dict(os.environ, BENCH_MODE="vm_prove_cpu")
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, timeout=1800)
-        for line in out.stdout.splitlines():
-            if line.strip().startswith("{"):
-                cpu_rate = json.loads(line)["insn_per_s"]
-    except Exception:
-        pass
+    if mode == "real_elf_cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps(run_real_elf_prove(FIB_CPU_N)))
+        return
+
+    if mode == "keccak":
+        res = run_keccak_elf_prove()
+        print(json.dumps({
+            "metric": "keccak256_guest_proof_throughput",
+            "value": round(res["insn_per_s"], 1), "unit": "insn/s",
+            "vs_baseline": 1.0,
+            "insns": res["insns"], "segments": res["segments"],
+            "proof_time_s": round(res["prove_s"], 2)}))
+        return
+
+    def _cpu_sub_rate(cpu_mode, timeout_s=1800):
+        try:
+            env = dict(os.environ, BENCH_MODE=cpu_mode)
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True,
+                                 timeout=timeout_s)
+            for line in out.stdout.splitlines():
+                if line.strip().startswith("{"):
+                    return json.loads(line)["insn_per_s"]
+        except Exception:
+            pass
+        return None
+
+    if mode == "synthetic":
+        res = run_vm_prove(VM_N)
+        cpu_rate = _cpu_sub_rate("vm_prove_cpu")
+        metric = "vm_full_proof_throughput"
+    else:  # vm_prove on the real guest ELF
+        res = run_real_elf_prove(FIB_N)
+        cpu_rate = _cpu_sub_rate("real_elf_cpu")
+        metric = "real_elf_full_proof_throughput"
     print(json.dumps({
-        "metric": "vm_full_proof_throughput",
+        "metric": metric,
         "value": round(res["insn_per_s"], 1),
         "unit": "insn/s",
         "vs_baseline": round(res["insn_per_s"] / cpu_rate, 3)
