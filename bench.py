@@ -82,17 +82,18 @@ def run_vm_prove(n_iters: int) -> dict:
 
     exe = build_fib_program(n_iters)
     vm = VirtualMachine(Rv32Config(executors=FIB_EXECUTORS))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     t0 = time.time()
     vm.keygen()
     t_keygen = time.time() - t0
-    # one warm-up proof compiles every prover kernel for this shape; the
-    # measured proof is the steady-state cost (the reference's benches
-    # similarly exclude one-time artifact generation via `cargo openvm
-    # setup`)
-    proof, pre = vm.prove(exe)
     t0 = time.time()
     proof, pre = vm.prove(exe)
     t_prove = time.time() - t0
+    if t_prove < budget_s / 3:
+        # warm: re-measure steady-state (one-time compiles amortized)
+        t0 = time.time()
+        proof, pre = vm.prove(exe)
+        t_prove = time.time() - t0
     vm.verify(proof)
     cells = sum((1 << p.log_degree)
                 * (vm.airs[p.air_id].width
@@ -106,23 +107,33 @@ def run_vm_prove(n_iters: int) -> dict:
 def run_real_elf_prove(n_loop: int) -> dict:
     """Full proof of the reference's real fibonacci guest ELF
     (benchmarks/guest/fibonacci: reads u64 n from the hint stream, loops,
-    reveals fib(n) mod 2^64).  Returns timing breakdown."""
+    reveals fib(n) mod 2^64).  Returns timing breakdown.
+
+    Budget discipline (round-2 postmortem: BENCH_r02 timed out, rc 124):
+    exactly ONE measured prove.  A steady-state re-measure happens only if
+    the first prove (which may include one-time XLA compiles) finished
+    within BENCH_BUDGET_S/3 — so a cold persistent cache still reports a
+    number instead of timing out.
+    """
     from openvm_tpu.vm.elf import load_elf
     from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
     from openvm_tpu.vm.transpiler import transpile_elf
 
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     exe = transpile_elf(load_elf(open(REAL_FIB_ELF, "rb").read()))
     inputs = [list(int(n_loop).to_bytes(8, "little"))]
     vm = VirtualMachine(Rv32Config(executors=REAL_ELF_EXECUTORS))
     t0 = time.time()
     vm.keygen()
     t_keygen = time.time() - t0
-    # warm-up proof compiles every prover kernel for this shape (the
-    # reference's benches similarly exclude one-time `cargo openvm setup`)
-    proof, pre = vm.prove(exe, inputs=inputs)
     t0 = time.time()
     proof, pre = vm.prove(exe, inputs=inputs)
     t_prove = time.time() - t0
+    if t_prove < budget_s / 3:
+        # warm: re-measure steady-state (compiles are cached in-process)
+        t0 = time.time()
+        proof, pre = vm.prove(exe, inputs=inputs)
+        t_prove = time.time() - t0
     vm.verify(proof)
     cells = sum((1 << p.log_degree)
                 * (vm.airs[p.air_id].width
@@ -149,7 +160,7 @@ def run_keccak_elf_prove() -> dict:
     t0 = time.time()
     proofs = vm.prove_continuations(exe)
     t_prove = time.time() - t0
-    vm.verify_segments(exe, proofs)
+    vm.verify_segments(proofs, exe)
     insns = 4325750  # E1 instret of this guest (fixed workload)
     return {"insns": insns, "segments": len(proofs),
             "prove_s": t_prove, "keygen_s": t_keygen,
@@ -197,6 +208,25 @@ def main():
         print(json.dumps(run_real_elf_prove(FIB_CPU_N)))
         return
 
+    if mode == "pin_cpu":
+        # one-off: measure the CPU baselines and pin them to
+        # bench_baseline.json (committed; later runs read vs_baseline here)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import platform
+        pin = {"host": platform.node(),
+               "pinned_at": time.strftime("%Y-%m-%dT%H:%M:%S")}
+        res = run_real_elf_prove(FIB_CPU_N)
+        pin["real_elf_cpu"] = {"insn_per_s": res["insn_per_s"],
+                               "insns": res["insns"],
+                               "prove_s": res["prove_s"]}
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_baseline.json")
+        with open(path, "w") as f:
+            json.dump(pin, f, indent=1)
+        print(json.dumps(pin))
+        return
+
     if mode == "keccak":
         res = run_keccak_elf_prove()
         print(json.dumps({
@@ -207,7 +237,23 @@ def main():
             "proof_time_s": round(res["prove_s"], 2)}))
         return
 
-    def _cpu_sub_rate(cpu_mode, timeout_s=1800):
+    def _cpu_sub_rate(cpu_mode, timeout_s=300):
+        """CPU-baseline insn/s: served from the pinned measurement in
+        bench_baseline.json (committed, measured once per host with
+        BENCH_PIN_CPU=1) so the driver-run bench never pays a second full
+        pipeline.  Falls back to a subprocess run under a hard 300 s cap
+        only when no pin exists and BENCH_CPU=1 opts in."""
+        pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_baseline.json")
+        try:
+            with open(pin_path) as f:
+                pin = json.load(f)
+            if cpu_mode in pin:
+                return pin[cpu_mode]["insn_per_s"]
+        except Exception:
+            pass
+        if not os.environ.get("BENCH_CPU"):
+            return None
         try:
             env = dict(os.environ, BENCH_MODE=cpu_mode)
             out = subprocess.run([sys.executable, __file__], env=env,

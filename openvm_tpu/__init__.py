@@ -20,10 +20,14 @@ __version__ = "0.1.0"
 # Persistent XLA compilation cache: prover/keygen graphs for a given VM
 # config + trace-height profile compile once per machine, not once per
 # process (the reference's analog is cargo's build cache for its kernels).
+# TPU backend ONLY: XLA:CPU AOT executables reload with a machine-feature
+# mismatch on this host and then miscompute silently (round-2 postmortem —
+# a cache written by a different machine corrupted proofs and commitments).
 # Opt out with OPENVM_TPU_NO_CACHE=1.
 import os as _os
 
-if not _os.environ.get("OPENVM_TPU_NO_CACHE"):
+if (not _os.environ.get("OPENVM_TPU_NO_CACHE")
+        and _os.environ.get("JAX_PLATFORMS", "").lower() not in ("cpu",)):
     import jax as _jax
 
     _cache_dir = _os.environ.get(

@@ -137,23 +137,18 @@ def _monty_reduce(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(t >= _u32(P), t - _u32(P), t)
 
 
-def _use_u64() -> bool:
-    """CPU with x64 enabled: use native 64-bit Montgomery (fewer HLO ops —
-    compile time matters for the big per-AIR constraint graphs).  TPU always
-    uses the exact 16-bit-limb path (no native u64)."""
-    return bool(jax.config.jax_enable_x64) and jax.default_backend() == "cpu"
-
-
 @jax.jit
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product: mul(aR, bR) = abR (mod p)."""
-    if _use_u64():
-        p64 = a.astype(jnp.uint64) * b.astype(jnp.uint64)
-        m = (p64 & jnp.uint64(0xFFFFFFFF)) * jnp.uint64(NPRIME) \
-            & jnp.uint64(0xFFFFFFFF)
-        t = (p64 + m * jnp.uint64(P)) >> 32
-        t = jnp.where(t >= P, t - P, t)
-        return t.astype(_U32)
+    """Montgomery product: mul(aR, bR) = abR (mod p).
+
+    Always the exact 16-bit-limb path.  A uint64 fast path (active under
+    jax_enable_x64 on CPU) existed through round 2 but was removed: this
+    XLA:CPU build miscompiles the u64 chain NONDETERMINISTICALLY (same
+    jitted function, same input, different results across calls) — the
+    round-2 real-ELF proving failure and bench flakiness traced to it.
+    TPU has no native u64 anyway, so the limb path is the only one that
+    can ship.
+    """
     hi, lo = mul_32x32(a, b)
     return _monty_reduce(hi, lo)
 
@@ -184,12 +179,6 @@ def to_monty(x: jnp.ndarray) -> jnp.ndarray:
 @jax.jit
 def from_monty(x: jnp.ndarray) -> jnp.ndarray:
     """Montgomery form -> canonical u32 in [0, p)."""
-    if _use_u64():
-        p64 = x.astype(jnp.uint64)
-        m = (p64 * jnp.uint64(NPRIME)) & jnp.uint64(0xFFFFFFFF)
-        t = (p64 + m * jnp.uint64(P)) >> 32
-        t = jnp.where(t >= P, t - P, t)
-        return t.astype(_U32)
     return _monty_reduce(jnp.zeros_like(x), x)
 
 

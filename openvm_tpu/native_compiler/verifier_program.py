@@ -760,6 +760,13 @@ def build_internal_program(node_vk, log_degrees: list, num_children: int):
             b.branch_eq(same, 0, skip)
             for k in range(8):
                 b.assert_eq(child_pvs.felt(k), merged.felt(k))
+            # mid-chain discipline: the previous segment must have
+            # SUSPENDED (is_terminate == 0, exit code 42) — a terminated
+            # middle segment must not chain (reference verify_segments,
+            # arch/vm.rs:1107-1237; the host-side check alone is not
+            # enough because the aggregated path is the one that ships)
+            b.assert_eq(merged.felt(11), 0)
+            b.assert_eq(merged.felt(10), 42)
             # pc chain: prev final_pc == child initial_pc
             b.assert_eq(merged.felt(9), child_pvs.felt(8))
             # memory-root chain: prev final root == child initial root

@@ -1,8 +1,10 @@
 """SDK: the user-facing prove/execute surface.
 
 Mirrors the reference's ``GenericSdk`` API (reference crates/sdk/src/lib.rs:
-126-205: execute, prove, app_keygen, verify_app_proof) minus the not-yet-
-ported aggregation layers (SURVEY.md section 2.16).
+126-205: execute, prove, app_keygen, verify_app_proof) plus the aggregation
+surface (agg_keygen / prove_leaf / prove_internal / aggregate / verify_root;
+reference lib.rs:454-465).  Not covered: the halo2/EVM wrapper
+(SURVEY.md section 2.16).
 """
 
 from __future__ import annotations

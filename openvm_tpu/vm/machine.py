@@ -78,10 +78,13 @@ class Rv32Config:
 
     def __post_init__(self):
         if self.stark is None:
+            # default = reference's standard_with_100_bits_conjectured_
+            # security(1) (crates/sdk/src/config/mod.rs:130-141): 84 queries
+            # + 16 PoW bits at blowup 2.  Tests pass explicit weak profiles.
             from ..stark import FriParameters
             self.stark = StarkConfig(
-                fri=FriParameters(log_blowup=1, num_queries=33,
-                                  proof_of_work_bits=16))
+                fri=FriParameters.standard_with_100_bits_conjectured_security(
+                    1))
 
 
 _EXECUTOR_AIRS = {

@@ -109,7 +109,7 @@ def config_from_dict(doc: dict) -> Rv32Config:
         from .stark import FriParameters, StarkConfig
         kw["stark"] = StarkConfig(fri=FriParameters(
             log_blowup=int(fri_cfg.get("log_blowup", 1)),
-            num_queries=int(fri_cfg.get("num_queries", 33)),
+            num_queries=int(fri_cfg.get("num_queries", 84)),
             proof_of_work_bits=int(fri_cfg.get("proof_of_work_bits", 16))))
     return Rv32Config(**kw)
 

@@ -24,11 +24,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # NOTE: do NOT enable the persistent compilation cache on CPU — XLA:CPU AOT
 # executables deserialize with a machine-feature mismatch on this host and
-# the reloaded code can spin forever at runtime.  (bench.py keeps its own
-# cache for the TPU backend, whose executables round-trip fine.)
-# x64 on CPU: field muls lower to ~10 HLO ops instead of the 16-bit-limb
-# TPU path (4x faster compiles of the big constraint graphs).
-jax.config.update("jax_enable_x64", True)
+# the reloaded code can spin forever or MISCOMPUTE at runtime (openvm_tpu's
+# __init__ now only turns the cache on for the TPU backend).
+# NOTE: do NOT enable jax_enable_x64 — this XLA:CPU build miscompiles u64
+# integer chains nondeterministically (same jitted fn, same input, different
+# results across calls); it silently corrupted proofs in round 2.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
