@@ -235,12 +235,14 @@ class Builder:
     def read_hints(self, n: int) -> FeltArray:
         """Read n felts from the current hint stream into a fresh array
         (block-4 stores for the bulk, single stores for the tail)."""
-        arr = self.array(n)
+        return self.read_hints_into(self.array(n))
+
+    def read_hints_into(self, arr: FeltArray) -> FeltArray:
         i = 0
-        while i + 4 <= n:
+        while i + 4 <= arr.n:
             self.hint_storew4(arr.addr + i)
             i += 4
-        while i < n:
+        while i < arr.n:
             self.hint_storew(Felt(arr.addr + i))
             i += 1
         return arr
@@ -252,6 +254,63 @@ class Builder:
         decompositions never clobber pending proof data."""
         self.emit(phantom(NativePhantom.HINT_FELT))
         return self.read_hints(n)
+
+    def read_vec_into(self, arr: FeltArray) -> FeltArray:
+        """read_vec into a pre-allocated buffer (lets loop bodies reuse
+        one address range, e.g. per-query FRI openings)."""
+        self.emit(phantom(NativePhantom.HINT_FELT))
+        return self.read_hints_into(arr)
+
+    # -- fri -------------------------------------------------------------
+    def fri_reduced_opening(self, a_arr: FeltArray, b_arr: FeltArray,
+                            length: int, alpha: Ext,
+                            dst: Ext | None = None) -> Ext:
+        """dst = sum_{t<length} alpha^t * (b_ext[t] - a_felt[t]) as ONE
+        instruction (vm/circuit/native.py FriReducedOpeningAir; reference
+        opcode FRI_REDUCED_OPENING, extensions/native/compiler/src/
+        lib.rs:196-199).  b_arr is 4*length felts (ext element t at
+        4t..4t+4); a/b/alpha/dst regions must not alias."""
+        assert a_arr.n >= length and b_arr.n >= 4 * length
+        d = dst or self.ext()
+        from ..vm.instructions import FriOpcode
+        self.emit(Instruction(FriOpcode.FRI_REDUCED_OPENING, a=a_arr.addr,
+                              b=b_arr.addr, c=length, d=alpha.addr,
+                              e=d.addr))
+        return d
+
+    def verify_batch(self, desc: FeltArray, sibs: FeltArray,
+                     bits_addr: int, commit_addr: int, depth: int,
+                     inside_rows: int = 0):
+        """Whole Merkle batch opening as ONE instruction (vm/circuit/
+        native.py VerifyBatchAir; reference VERIFY_BATCH,
+        extensions/native/circuit/src/extension/mod.rs:89-99).
+
+        desc: 3*(depth+1) felts — (has_seg, seg_ptr, seg_len) per level;
+        sibs: 8*depth hinted sibling digests; bits_addr: depth index bits
+        (low first); commit_addr: 8 felts; inside_rows: total sponge rows
+        (metadata for static height profiling, operand f)."""
+        assert desc.n >= 3 * (depth + 1) and sibs.n >= 8 * depth
+        from ..vm.instructions import VerifyBatchOpcode
+        self.emit(Instruction(VerifyBatchOpcode.VERIFY_BATCH, a=desc.addr,
+                              b=sibs.addr, c=bits_addr, d=commit_addr,
+                              e=depth, f=inside_rows))
+
+    def write_batch_descriptor(self, segs: dict, depth: int) -> FeltArray:
+        """Materialize a VERIFY_BATCH descriptor: segs maps level ->
+        (seg_addr, seg_len) for levels 0..depth (level 0 mandatory).
+        Returns the descriptor array (3*(depth+1) felts)."""
+        assert 0 in segs and max(segs) <= depth
+        desc = self.array(3 * (depth + 1))
+        for s in range(depth + 1):
+            if s in segs:
+                addr, ln = segs[s]
+                self.mov(1, desc.felt(3 * s))
+                self.mov(addr, desc.felt(3 * s + 1))
+                self.mov(ln, desc.felt(3 * s + 2))
+            else:
+                for k in range(3):
+                    self.mov(0, desc.felt(3 * s + k))
+        return desc
 
     # -- poseidon2 -------------------------------------------------------
     def permute(self, src: FeltArray, dst: FeltArray | None = None

@@ -84,60 +84,53 @@ def serialize_proof_felts(vk, proof) -> list:
         put(commit)
     put(fp.final_poly[0])
     put([fp.pow_witness])
+    round_lhs = _round_shapes(vk, [p.log_degree for p in per_air])
     for qp in fp.query_proofs:
-        for batch in qp.input_proof:
-            for row in batch.opened_values:
-                put(row)
-            for sib in batch.opening_proof:
-                put(sib)
+        for batch, lhs in zip(qp.input_proof, round_lhs):
+            # rows grouped by height (desc), one vector per height group
+            # (mirrors the generator's VERIFY_BATCH segment layout)
+            groups: dict = {}
+            for lh, row in zip(lhs, batch.opened_values):
+                groups.setdefault(lh, []).append(row)
+            for lh in sorted(groups, reverse=True):
+                put([v for row in groups[lh] for v in row])
+            # all sibling digests of the batch as one vector
+            put([v for sib in batch.opening_proof for v in sib])
         for step in qp.commit_phase_openings:
             put(step.sibling_value)
-            for sib in step.opening_proof:
-                put(sib)
+            put([v for sib in step.opening_proof for v in sib])
     return out
+
+
+def _round_shapes(vk, log_degrees: list) -> list:
+    """Per commitment round, the LDE log-height of each opened matrix in
+    mats order (must mirror _emit_verify's rounds construction — the
+    serializer groups opened rows by height exactly as the generator's
+    VERIFY_BATCH segment buffers do)."""
+    lb = vk.config.fri.log_blowup
+    per_vk = vk.per_air
+    rounds = []
+    for i, avk in enumerate(per_vk):
+        if avk.preprocessed_commit is not None:
+            rounds.append([log_degrees[i] + lb])
+    for i, avk in enumerate(per_vk):
+        for _w in avk.widths.cached_mains:
+            rounds.append([log_degrees[i] + lb])
+    rounds.append([log_degrees[i] + lb for i, avk in enumerate(per_vk)
+                   if avk.widths.common_main])
+    if vk.num_phases:
+        rounds.append([log_degrees[i] + lb for i, avk in enumerate(per_vk)
+                       if avk.widths.after_challenge])
+    qround = []
+    for i, avk in enumerate(per_vk):
+        qround.extend([log_degrees[i] + lb] * avk.quotient_degree)
+    rounds.append(qround)
+    return rounds
 
 
 # ---------------------------------------------------------------------------
 # In-program helpers
 # ---------------------------------------------------------------------------
-
-
-class _Sponge:
-    """hash_row_concat / compress exactly as merkle.verify_batch."""
-
-    def __init__(self, b: Builder):
-        self.b = b
-        self.state = b.array(16)
-
-    def hash_felts(self, felts: list) -> FeltArray:
-        """Absorb a flat list of Felt handles (overwrite-rate sponge),
-        return the 8-cell digest (a copy)."""
-        b = self.b
-        for i in range(16):
-            b.mov(0, self.state.felt(i))
-        for c0 in range(0, len(felts), 8):
-            chunk = felts[c0:c0 + 8]
-            for i, f in enumerate(chunk):
-                b.mov(f, self.state.felt(i))
-            b.permute(self.state, self.state)
-        dig = b.array(8)
-        for i in range(8):
-            b.mov(self.state.felt(i), dig.felt(i))
-        return dig
-
-    def compress_ordered(self, bit: Felt, cur: FeltArray, sib: FeltArray,
-                         dst: FeltArray | None = None) -> FeltArray:
-        """dst = bit ? compress(sib, cur) : compress(cur, sib)."""
-        b = self.b
-        d = dst or b.array(8)
-        swap, end = b.label(), b.label()
-        b.branch_ne(bit, 0, swap)
-        b.compress(cur, sib, d)
-        b.jump(end)
-        b.place(swap)
-        b.compress(sib, cur, d)
-        b.place(end)
-        return d
 
 
 def _ext_cells(b: Builder, arr: FeltArray, j: int) -> Ext:
@@ -239,7 +232,6 @@ def _emit_verify(b: Builder, vk, log_degrees: list):
         assert total < c.threshold, "trace height constraint violated"
 
     ch = ProgramChallenger(b)
-    sponge = _Sponge(b)
 
     # ---- read proof fields in serialize order -------------------------
     pvs = [b.read_vec(avk.num_public_values) if avk.num_public_values
@@ -394,22 +386,51 @@ def _emit_verify(b: Builder, vk, log_degrees: list):
     ch.observe_arr(final_poly)
     ch.check_witness(cfg.fri.proof_of_work_bits, fri_pow.felt(0))
 
-    # precompute per-mat per-point S_z = sum_t fri_alpha^t * p_t(z), and
-    # the alpha-power ladder (query independent)
+    # alpha-power ladder (query independent; only w-th powers are needed
+    # for the per-height alpha_pow bookkeeping — the per-mat reduced
+    # openings are single FRI_REDUCED_OPENING instructions)
     max_w = max((w for (_, mats) in rounds for (_, w, _, _) in mats),
                 default=0)
     apows = [b.econst((1, 0, 0, 0))]
     for _ in range(max_w):
         apows.append(b.emul(apows[-1], fri_alpha))
-    s_z = {}  # (round_idx, mat_idx, pt_idx) -> Ext
-    for r, (_, mats) in enumerate(rounds):
-        for m, (_lh, w, pts, values) in enumerate(mats):
-            for pz, arr in enumerate(values):
-                acc = b.econst((0, 0, 0, 0))
-                for t in range(w):
-                    acc = b.eadd(acc, b.emul(apows[t],
-                                             _ext_cells(b, arr, t)))
-                s_z[(r, m, pz)] = acc
+
+    # pre-allocated per-round opening buffers + VERIFY_BATCH descriptors
+    # (reused by every query — descriptors are static per call site).
+    # Rows of one height group live in ONE contiguous buffer so the whole
+    # batch opening is a single VERIFY_BATCH instruction; serializer
+    # groups identically (serialize_proof_felts).
+    round_bufs = []
+    for (commit, mats) in rounds:
+        batch_max = max(lh for (lh, _, _, _) in mats)
+        groups: dict = {}
+        for m, (lh, w, _, _) in enumerate(mats):
+            groups.setdefault(lh, []).append(m)
+        garrs = {}
+        row_slices = [None] * len(mats)
+        segs = {}
+        total_inside = 0
+        for lh in sorted(groups, reverse=True):
+            tot = sum(mats[m][1] for m in groups[lh])
+            arr = b.array(tot)
+            garrs[lh] = arr
+            off = 0
+            for m in groups[lh]:
+                row_slices[m] = arr.slice(off, mats[m][1])
+                off += mats[m][1]
+            segs[batch_max - lh] = (arr.addr, tot)
+            total_inside += (tot + 7) // 8
+        desc = b.write_batch_descriptor(segs, batch_max)
+        sib_buf = b.array(8 * batch_max)
+        round_bufs.append((batch_max, garrs, row_slices, desc, sib_buf,
+                           total_inside))
+    fold_bufs = []
+    for i in range(num_fri_commits):
+        log_folded = log_max_lde - i - 1
+        pair = b.array(8)  # (e0 || e1) of the fold check
+        path = b.array(8 * log_folded)
+        fdesc = b.write_batch_descriptor({0: (pair.addr, 8)}, log_folded)
+        fold_bufs.append((pair, path, fdesc))
 
     two_adic = {}
 
@@ -423,62 +444,55 @@ def _emit_verify(b: Builder, vk, log_degrees: list):
             two_adic[lh] = pows
         return two_adic[lh]
 
+    gen_inv = pow(bb.GENERATOR, -1, P)
+    needed_lhs = sorted({lh for (_, mats) in rounds
+                         for (lh, _, _, _) in mats})
     for _q in range(cfg.fri.num_queries):
         index_bits = ch.sample_bits(log_max_lde)  # canonical 31 bits
         with b.scope():
+            # domain point per height, ONCE per query: x(log_max_lde) =
+            # GEN * w^{bitrev(idx)} by bit-select products, then each
+            # lower height by squaring — x(lh-1) = x(lh)^2 / GEN (the
+            # top two-adic factor has order 2^lh so it vanishes when
+            # squared; same trick as p3's fri fold domains)
+            x_cur = b.mov(bb.GENERATOR)
+            for j, wp in enumerate(w_pows_desc(log_max_lde)):
+                bit = index_bits.felt(j)
+                # bit ? wp : 1  ==  1 + bit*(wp-1)
+                x_cur = b.mul(x_cur, b.add(b.mul(bit, (wp - 1) % P), 1))
+            x_exts = {log_max_lde: _promote(b, x_cur)}
+            for lh in range(log_max_lde - 1, needed_lhs[0] - 1, -1):
+                x_cur = b.mul(b.mul(x_cur, x_cur), gen_inv)
+                if lh in needed_lhs:
+                    x_exts[lh] = _promote(b, x_cur)
             ro = {}
             alpha_pow = {}
             for r, (commit, mats) in enumerate(rounds):
-                batch_max = max(lh for (lh, _, _, _) in mats)
-                # per-mat rows
-                rows = [b.read_vec(w) for (_, w, _, _) in mats]
-                n_sibs = batch_max
-                sibs = [b.read_vec(8) for _ in range(n_sibs)]
+                (batch_max, garrs, rows, desc, sib_buf,
+                 total_inside) = round_bufs[r]
+                for lh in sorted(garrs, reverse=True):
+                    b.read_vec_into(garrs[lh])
+                b.read_vec_into(sib_buf)
                 for m, ((lh, w, pts, values), row) in enumerate(
                         zip(mats, rows)):
-                    # x = GEN * w_lh^{bitrev(row_idx)}; row_idx bits are
-                    # index_bits[log_max_lde-lh .. log_max_lde), and
-                    # bitrev(row_idx) uses them most-significant-first
-                    lo = log_max_lde - lh
-                    x = b.mov(bb.GENERATOR)
-                    for j, wp in enumerate(w_pows_desc(lh)):
-                        bit = index_bits.felt(lo + j)
-                        f = b.select(bit, b.const(wp), b.const(1))
-                        x = b.mul(x, f)
                     cur_ro = ro.get(lh)
                     if cur_ro is None:
                         cur_ro = b.econst((0, 0, 0, 0))
                         alpha_pow[lh] = b.econst((1, 0, 0, 0))
-                    # R = sum_t fri_alpha^t row[t]  (ext * base felt)
-                    racc = b.econst((0, 0, 0, 0))
-                    for t in range(w):
-                        racc = b.eadd(racc, b.emul_felt(apows[t],
-                                                        row.felt(t)))
-                    x_ext = _promote(b, x)
+                    x_ext = x_exts[lh]
                     for pz, z in enumerate(pts):
-                        n_acc = b.esub(s_z[(r, m, pz)], racc)
+                        # sum_t alpha^t (p_t(z) - row_t) as ONE instruction
+                        n_acc = b.fri_reduced_opening(
+                            row, values[pz], w, fri_alpha)
                         quot = b.ediv(n_acc, b.esub(z, x_ext))
                         cur_ro = b.eadd(cur_ro,
                                         b.emul(alpha_pow[lh], quot))
                         alpha_pow[lh] = b.emul(alpha_pow[lh], apows[w])
                     ro[lh] = cur_ro
-                # batch merkle verification
-                by_height: dict = {}
-                for (lh, _w, _p, _v), row in zip(mats, rows):
-                    by_height.setdefault(lh, []).append(row)
-                flat = [r_.felt(t) for r_ in by_height[batch_max]
-                        for t in range(r_.n)]
-                digest = sponge.hash_felts(flat)
-                size = batch_max
-                for lvl, sib in enumerate(sibs):
-                    bit = index_bits.felt((log_max_lde - batch_max) + lvl)
-                    digest = sponge.compress_ordered(bit, digest, sib)
-                    size -= 1
-                    if size in by_height:
-                        flat = [r_.felt(t) for r_ in by_height[size]
-                                for t in range(r_.n)]
-                        b.compress(digest, sponge.hash_felts(flat), digest)
-                b.assert_eq_arr(digest, commit)
+                # whole batch Merkle opening as ONE instruction
+                b.verify_batch(desc, sib_buf,
+                               index_bits.addr + (log_max_lde - batch_max),
+                               commit.addr, batch_max, total_inside)
 
             # fri fold phase
             folded = ro[log_max_lde]
@@ -486,8 +500,9 @@ def _emit_verify(b: Builder, vk, log_degrees: list):
                 log_folded = log_max_lde - i - 1
                 bit = index_bits.felt(i)
                 sib_val = b.read_vec(4)
-                path = [b.read_vec(8) for _ in range(log_folded)]
-                e0, e1 = b.ext(), b.ext()
+                pair, path, fdesc = fold_bufs[i]
+                b.read_vec_into(path)
+                e0, e1 = Ext(pair.addr), Ext(pair.addr + 4)
                 swap, endl = b.label(), b.label()
                 b.branch_ne(bit, 0, swap)
                 for k in range(4):
@@ -499,22 +514,24 @@ def _emit_verify(b: Builder, vk, log_degrees: list):
                     b.mov(sib_val.felt(k), Felt(e0.addr + k))
                     b.mov(folded.felt(k), Felt(e1.addr + k))
                 b.place(endl)
-                # pair-row commitment check
-                row_flat = [Felt(e0.addr + k) for k in range(4)] + \
-                           [Felt(e1.addr + k) for k in range(4)]
-                digest = sponge.hash_felts(row_flat)
-                for lvl in range(log_folded):
-                    pbit = index_bits.felt(i + 1 + lvl)
-                    digest = sponge.compress_ordered(pbit, digest,
-                                                     path[lvl])
-                b.assert_eq_arr(digest, fri_commits[i])
-                # y0 = w_{2^{log_folded+1}}^{bitrev(idx_level>>1)}
-                y0 = b.mov(1)
-                if log_folded > 0:
+                # pair-row commitment check as ONE instruction
+                b.verify_batch(fdesc, path, index_bits.addr + i + 1,
+                               fri_commits[i].addr, log_folded, 1)
+                # y0 = w_{2^{log_folded+1}}^{bitrev(idx_level>>1)}:
+                # computed by bit-select products at the FIRST fold level,
+                # then derived by squaring: y0_{i+1} = y0_i^2 * (-1)^bit
+                # (the dropped top factor has order 2, unlike the shifted
+                # x chain above)
+                if log_folded == 0:
+                    y0 = b.mov(1)
+                elif i == 0:
+                    y0 = b.mov(1)
                     for j, wp in enumerate(w_pows_desc(log_folded + 1)[1:]):
                         pbit = index_bits.felt(i + 1 + j)
-                        f = b.select(pbit, b.const(wp), b.const(1))
-                        y0 = b.mul(y0, f)
+                        y0 = b.mul(y0, b.add(b.mul(pbit, (wp - 1) % P), 1))
+                else:
+                    sgn = b.sub(1, b.mul(index_bits.felt(i), 2))
+                    y0 = b.mul(b.mul(y0, y0), sgn)
                 xs0 = _promote(b, y0)
                 xs1 = _promote(b, b.sub(0, y0))
                 num = b.emul(b.esub(betas[i], xs0), b.esub(e1, e0))
@@ -799,17 +816,18 @@ def static_height_profile(exe, base_heights=None):
     for the aggregation VM's fixed-height proving (reference
     NATIVE_MAX_TRACE_HEIGHTS role, extension/mod.rs:569)."""
     from ..vm.instructions import (FieldArithmeticOpcode as FA,
-                                   FieldExtensionOpcode as FE,
+                                   FieldExtensionOpcode as FE, FriOpcode,
                                    NativeBranchEqOpcode as NB,
                                    NativeJalOpcode,
                                    NativeLoadStore4Opcode as L4,
                                    NativeLoadStoreOpcode as L1,
                                    NativeRangeCheckOpcode, Poseidon2Opcode,
-                                   SystemOpcode)
+                                   SystemOpcode, VerifyBatchOpcode)
     counts = {"native_field_arithmetic": 0, "native_field_extension": 0,
               "native_branch_eq": 0, "native_loadstore": 0,
               "native_loadstore4": 0, "native_jal_rangecheck": 0,
-              "native_poseidon2": 0, "phantom": 0}
+              "native_poseidon2": 0, "fri_reduced_opening": 0,
+              "verify_batch": 0, "verify_batch_inside": 0, "phantom": 0}
     touched = 0
     for insn in exe.program.instructions:
         op = insn.opcode
@@ -830,6 +848,12 @@ def static_height_profile(exe, base_heights=None):
         elif op in (NativeJalOpcode.JAL, NativeRangeCheckOpcode.RANGE_CHECK):
             counts["native_jal_rangecheck"] += 1
             touched += 1
+        elif op == FriOpcode.FRI_REDUCED_OPENING:
+            counts["fri_reduced_opening"] += insn.c  # len rows per insn
+            touched += 4
+        elif op == VerifyBatchOpcode.VERIFY_BATCH:
+            counts["verify_batch"] += 2 * insn.e + 1
+            counts["verify_batch_inside"] += insn.f
         elif op in (Poseidon2Opcode.PERM_POS2, Poseidon2Opcode.COMP_POS2):
             counts["native_poseidon2"] += 1
             touched += 32
@@ -840,7 +864,11 @@ def static_height_profile(exe, base_heights=None):
         return 1 << max(int(x) - 1, 0).bit_length() if x > 0 else 1
 
     prof = {name: pow2(n) for name, n in counts.items()}
-    prof["poseidon2"] = pow2(counts["native_poseidon2"])
+    # shared poseidon2: adapter perms + verify_batch compresses (<= top
+    # rows) + inside-row sponge duplexes
+    prof["poseidon2"] = pow2(counts["native_poseidon2"]
+                             + counts["verify_batch"]
+                             + counts["verify_batch_inside"])
     prof["program"] = pow2(len(exe.program.instructions))
     prof["memory_boundary"] = pow2(touched)
     if base_heights:

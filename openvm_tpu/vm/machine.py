@@ -120,7 +120,8 @@ SHA256_EXECUTORS = ("sha256_sponge", "sha256")
 NATIVE_EXECUTORS = ("native_field_arithmetic", "native_field_extension",
                     "native_branch_eq", "native_loadstore",
                     "native_loadstore4", "native_jal_rangecheck",
-                    "native_poseidon2")
+                    "native_poseidon2", "fri_reduced_opening",
+                    "verify_batch", "verify_batch_inside")
 
 
 def NativeConfig(stark: StarkConfig = None, num_native_pvs: int = 16):
@@ -360,7 +361,8 @@ class VirtualMachine:
     # -- proving ---------------------------------------------------------
     def prove(self, exe: VmExe, inputs=None, max_insns=None, debug=False,
               native=True, state=None, initial_tree=None,
-              fixed_heights: dict | None = None, nvm=None, seg_ctx=None):
+              fixed_heights: dict | None = None, nvm=None, seg_ctx=None,
+              heights_only: bool = False):
         assert self.pk is not None, "call keygen() first"
         if native and nvm is None and state is None:
             nvm = self._new_handle(exe)
@@ -418,14 +420,10 @@ class VirtualMachine:
                 brows[r, 13] = dk >> 15
                 brows[r, 14] = 1
             traces["memory_boundary"] = _pad_pow2(brows)
-            # shared poseidon2 chip: requests from the native adapter
-            p2_air = self.airs[self.air_index["poseidon2"]]
-            p2rec = pre.records.get("native_poseidon2")
-            if p2rec and len(p2rec["pc"]):
-                requests = np.asarray(p2rec["inp"], dtype=np.uint64)
-            else:
-                requests = np.zeros((0, 16), dtype=np.uint64)
-            traces["poseidon2"] = p2_air.trace(requests)
+            # shared poseidon2 chip: requests from the native adapter and
+            # the verify_batch top/inside rows (assembled after the
+            # executor-chip loop below so their traces exist)
+            self._pending_native_p2 = True
         else:
             # public values air: data + final ts per word
             npv = self.config.num_pv_words
@@ -487,6 +485,21 @@ class VirtualMachine:
             else:
                 traces[air.name] = np.zeros((1, air.width), dtype=np.uint64)
 
+        if getattr(self, "_pending_native_p2", False):
+            self._pending_native_p2 = False
+            p2_air = self.airs[self.air_index["poseidon2"]]
+            reqs = []
+            p2rec = pre.records.get("native_poseidon2")
+            if p2rec and len(p2rec["pc"]):
+                reqs.append(np.asarray(p2rec["inp"], dtype=np.uint64))
+            for name in ("verify_batch", "verify_batch_inside"):
+                if name in self.air_index and pre.records.get(name):
+                    air = self.airs[self.air_index[name]]
+                    reqs.append(air.p2_requests(traces[name]))
+            requests = (np.concatenate(reqs, axis=0) if reqs
+                        else np.zeros((0, 16), dtype=np.uint64))
+            traces["poseidon2"] = p2_air.trace(requests)
+
         # fixed-height padding (reference NATIVE_MAX_TRACE_HEIGHTS role):
         # pins every trace shape so aggregation-VM proofs share one shape
         # and one set of compiled prover kernels
@@ -495,6 +508,13 @@ class VirtualMachine:
                 if name in traces:
                     air = self.airs[self.air_index[name]]
                     traces[name] = air.pad_to(traces[name], h)
+
+        if heights_only:
+            # pass-1 of uniform-shape continuations: per-chip (pow2)
+            # trace heights only, no lookup eval / commit / prove
+            heights = {name: len(tr) for name, tr in traces.items()}
+            heights["program"] = len(program_cached)
+            return heights, pre
 
         # lookup multiplicities from the interaction DAGs (generic)
         range_mult, bitwise_mult = self._lookup_multiplicities(traces,
@@ -610,19 +630,14 @@ class VirtualMachine:
         return range_mult[:, None], bitwise_mult
 
     # -- continuations ---------------------------------------------------
-    def prove_continuations(self, exe: VmExe, inputs=None,
-                            max_insns_per_segment: int | None = None,
-                            segment_limits: dict | None = None,
-                            debug=False):
-        """Segmented proving (persistent mode): run until a metered
-        segmentation limit trips (live trace-height / cells / interactions
-        accounting, reference segment_ctx.rs:135-217) or the optional
-        instruction budget, carry VmState, chain (pc, memory-root) across
-        segments (reference VmInstance::prove_continuations,
-        arch/vm.rs:966-1021).  One NativeVmHandle spans all segments:
-        memory persists in C++; records/touched state reset per segment.
-        """
-        assert self.config.persistent, "continuations need persistent mode"
+    def _segment_sweep(self, exe, inputs, max_insns_per_segment,
+                       segment_limits, debug, fixed_heights, heights_only,
+                       on_segment):
+        """Shared continuation loop (reference VmInstance::
+        prove_continuations, arch/vm.rs:966-1021).  One NativeVmHandle
+        spans all segments: memory persists in C++; records/touched state
+        reset per segment.  `on_segment(result, pre)` collects either
+        proofs or height dicts."""
         tree, words = self._initial_tree(exe)
         nvm = self._new_handle(exe)
         seg_ctx = None
@@ -631,24 +646,71 @@ class VirtualMachine:
         elif max_insns_per_segment is None:
             max_insns_per_segment = 1 << 20  # python fallback: insn budget
         state = None
-        proofs = []
         while True:
-            proof, pre = self.prove(
+            result, pre = self.prove(
                 exe, inputs=inputs if state is None else None,
                 max_insns=max_insns_per_segment, state=state,
                 initial_tree=(tree, dict(words)), native=nvm is not None,
-                nvm=nvm, seg_ctx=seg_ctx, debug=debug)
-            proofs.append(proof)
+                nvm=nvm, seg_ctx=seg_ctx, debug=debug,
+                fixed_heights=fixed_heights, heights_only=heights_only)
+            on_segment(result, pre)
             for k, w in pre.touched.items():
                 words[k] = list(w[:4])
             if pre.exit_code is not None:
-                return proofs, pre.final_memory_tree
+                return pre.final_memory_tree
             state = pre.suspended_state
             tree = pre.final_memory_tree
             if nvm is not None:
                 nvm.segment_reset()
             else:
                 words = state["memory_words"]
+
+    def segment_height_profile(self, exe: VmExe, inputs=None,
+                               max_insns_per_segment: int | None = None,
+                               segment_limits: dict | None = None) -> dict:
+        """Per-chip max (pow2) trace heights across ALL segments of an
+        execution — the app-VM analog of the reference's fixed aggregation
+        heights (NATIVE_MAX_TRACE_HEIGHTS).  Proving every segment padded
+        to this profile gives all segment proofs ONE shape: a single leaf
+        verifier program serves every segment (shape-robust aggregation)
+        and a single set of compiled prover kernels serves every segment
+        (compile-once on TPU)."""
+        profile: dict = {}
+
+        def collect(heights, _pre):
+            for k, h in heights.items():
+                profile[k] = max(profile.get(k, 1), int(h))
+
+        self._segment_sweep(exe, inputs, max_insns_per_segment,
+                            segment_limits, False, None, True, collect)
+        return profile
+
+    def prove_continuations(self, exe: VmExe, inputs=None,
+                            max_insns_per_segment: int | None = None,
+                            segment_limits: dict | None = None,
+                            debug=False, fixed_heights: dict | None = None,
+                            uniform_shapes: bool = False):
+        """Segmented proving (persistent mode): run until a metered
+        segmentation limit trips (live trace-height / cells / interactions
+        accounting, reference segment_ctx.rs:135-217) or the optional
+        instruction budget, carry VmState, chain (pc, memory-root) across
+        segments (reference VmInstance::prove_continuations,
+        arch/vm.rs:966-1021).
+
+        uniform_shapes=True first sweeps all segments heights-only
+        (execute + tracegen, no proving), derives the per-chip max
+        profile, then proves every segment padded to it — all segment
+        proofs share one shape (see segment_height_profile).
+        """
+        assert self.config.persistent, "continuations need persistent mode"
+        if uniform_shapes and fixed_heights is None:
+            fixed_heights = self.segment_height_profile(
+                exe, inputs, max_insns_per_segment, segment_limits)
+        proofs = []
+        tree = self._segment_sweep(
+            exe, inputs, max_insns_per_segment, segment_limits, debug,
+            fixed_heights, False, lambda proof, pre: proofs.append(proof))
+        return proofs, tree
 
     def verify_segments(self, proofs, exe: VmExe,
                         expected_exe_commit=None):

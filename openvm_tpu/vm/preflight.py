@@ -23,7 +23,8 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            BranchEqual256Opcode, BranchEqualOpcode,
                            BranchLessThan256Opcode, BranchLessThanOpcode,
                            DivRemOpcode, FieldArithmeticOpcode,
-                           FieldExtensionOpcode, LessThan256Opcode,
+                           FieldExtensionOpcode, FriOpcode,
+                           LessThan256Opcode,
                            LessThanOpcode, Mul256Opcode, MulHOpcode,
                            MulOpcode, NativeBranchEqOpcode,
                            NativeJalOpcode, NativeLoadStore4Opcode,
@@ -33,7 +34,7 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            Rv32JalLuiOpcode, Rv32JalrOpcode, Rv32KeccakOpcode,
                            Rv32Sha256Opcode,
                            Rv32LoadStoreOpcode, Rv32Phantom, PairingPhantom,
-                           Shift256Opcode,
+                           Shift256Opcode, VerifyBatchOpcode,
                            ShiftOpcode, SystemOpcode, VmExe)
 from .interpreter import ExecutionError, Streams, _imm16, _imm24, _s32, _sx
 
@@ -994,6 +995,178 @@ class PreflightInterpreter:
                     _append(r, pc=pc, ts=ts, op_idx=1, a=a, b=b, c=c,
                             y=x_hi, prev_w=prevw[0], p_tsw=pw)
                 pc, ts = to_pc, ts + 1
+
+            elif op == FriOpcode.FRI_REDUCED_OPENING:
+                # result = sum_t alpha^t (b[t] - a[t]); len rows in
+                # descending t (vm/circuit/native.py FriReducedOpeningAir)
+                r = recs["fri_reduced_opening"]
+                a_ptr, b_ptr, length = a, b, c
+                alpha_ptr, result_ptr = d, e
+                if length < 1:
+                    raise ExecutionError(
+                        f"FRI_REDUCED_OPENING length 0 at pc {pc:#x}")
+                from ..field.babybear import ext_mul_int
+                alpha, pts_alpha = [], []
+                for k in range(4):
+                    w, p_ = mem.read(4, alpha_ptr + k, ts + 5 * length + k)
+                    alpha.append(w[0]), pts_alpha.append(p_)
+                acc = (0, 0, 0, 0)
+                for row, t_ in enumerate(range(length - 1, -1, -1)):
+                    ts_row = ts + 5 * row
+                    w, pa = mem.read(4, a_ptr + t_, ts_row)
+                    av = w[0]
+                    bv, pts_b = [], []
+                    for k in range(4):
+                        w, p_ = mem.read(4, b_ptr + 4 * t_ + k,
+                                         ts_row + 1 + k)
+                        bv.append(w[0]), pts_b.append(p_)
+                    diff = ((bv[0] - av) % P, bv[1], bv[2], bv[3])
+                    if row == 0:
+                        acc = diff
+                    else:
+                        prod = ext_mul_int(acc, tuple(alpha))
+                        acc = tuple((prod[k] + diff[k]) % P
+                                    for k in range(4))
+                    is_end = int(t_ == 0)
+                    prev_res, pts_res = [0] * 4, [0] * 4
+                    if is_end:
+                        for k in range(4):
+                            pw_, pz = mem.write(
+                                4, result_ptr + k, [acc[k], 0, 0, 0],
+                                ts + 5 * length + 4 + k)
+                            prev_res[k], pts_res[k] = pw_[0], pz
+                    _append(r, pc=pc, ts=ts, is_start=int(row == 0),
+                            is_end=is_end, a_ptr=a_ptr, b_ptr=b_ptr,
+                            length=length, alpha_ptr=alpha_ptr,
+                            result_ptr=result_ptr, t=t_, alpha=list(alpha),
+                            a_val=av, b_val=list(bv), acc=list(acc),
+                            pts_a=pa, pts_b=pts_b,
+                            pts_alpha=pts_alpha if is_end else [0] * 4,
+                            pts_res=pts_res, prev_res=prev_res)
+                pc, ts = pc + 4, ts + 5 * length + 8
+
+            elif op == VerifyBatchOpcode.VERIFY_BATCH:
+                # whole Merkle batch opening as one instruction
+                # (vm/circuit/native.py VerifyBatchAir docstring spec)
+                r_top = recs["verify_batch"]
+                r_ins = recs["verify_batch_inside"]
+                desc_ptr, sib_ptr, bits_ptr, commit_ptr, depth = a, b, c, d, e
+                from .memory_tree import _host
+                perm = lambda st16: [int(x) for x in _host().permute(
+                    np.asarray(st16, dtype=np.uint64))]
+                ts0 = ts
+                bit_base = ts0 + 3 * (depth + 1)
+                sib_base = bit_base + depth
+                comm_base = bit_base + 9 * depth
+                ts_acc = comm_base + 8
+                node = [0] * 8
+                zero8 = [0] * 8
+
+                def fr(addr, tick):
+                    w, p_ = mem.read(4, addr, tick)
+                    return w[0], p_
+
+                for s_ in range(depth + 1):
+                    has_seg, pd0 = fr(desc_ptr + 3 * s_, ts0 + 3 * s_)
+                    segp, pd1 = fr(desc_ptr + 3 * s_ + 1, ts0 + 3 * s_ + 1)
+                    segl, pd2 = fr(desc_ptr + 3 * s_ + 2, ts0 + 3 * s_ + 2)
+                    if s_ == 0 and not has_seg:
+                        raise ExecutionError(
+                            f"VERIFY_BATCH level 0 empty at pc {pc:#x}")
+                    digest, n_rows, ts_add = zero8, 0, 0
+                    if has_seg:
+                        if segl < 1:
+                            raise ExecutionError(
+                                f"VERIFY_BATCH empty segment at pc {pc:#x}")
+                        state = [0] * 16
+                        n_rows = (segl + 7) // 8
+                        rem = segl
+                        for j in range(n_rows):
+                            cnt = min(8, rem)
+                            act = [int(i < cnt) for i in range(8)]
+                            absorbed, pts_m = [], []
+                            state_in = list(state)
+                            for i in range(8):
+                                if act[i]:
+                                    v_, p_ = fr(segp + 8 * j + i,
+                                                ts_acc + 8 * j + i)
+                                    absorbed.append(v_), pts_m.append(p_)
+                                else:
+                                    absorbed.append(state_in[i])
+                                    pts_m.append(0)
+                            state = perm(absorbed + state_in[8:])
+                            _append(r_ins, ts_seg=ts_acc, seg_ptr=segp,
+                                    seg_len=segl, j=j, rem=rem,
+                                    is_first=int(j == 0),
+                                    is_last=int(j == n_rows - 1),
+                                    act=act, absorbed=absorbed,
+                                    state_in=state_in, state_out=state,
+                                    pts_m=pts_m)
+                            rem -= cnt
+                        digest = state[:8]
+                        ts_add = 8 * n_rows
+                    node_in = list(node)
+                    out_hi = zero8
+                    if s_ == 0:
+                        node = list(digest)
+                    elif has_seg:
+                        out = perm(node_in + list(digest))
+                        node, out_hi = out[:8], out[8:]
+                    is_end = int(s_ == depth)
+                    comm, pts_comm = zero8, [0] * 8
+                    if is_end:
+                        comm, pts_comm = [], []
+                        for k in range(8):
+                            v_, p_ = fr(commit_ptr + k, comm_base + k)
+                            comm.append(v_), pts_comm.append(p_)
+                        if comm != node:
+                            raise ExecutionError(
+                                f"VERIFY_BATCH commitment mismatch at pc "
+                                f"{pc:#x}")
+                    _append(r_top, pc=pc, ts=ts0, depth=depth, f_op=f,
+                            desc_ptr=desc_ptr, sib_ptr=sib_ptr,
+                            bits_ptr=bits_ptr, commit_ptr=commit_ptr,
+                            s=s_, is_lvl=1, is_sib=0,
+                            is_start=int(s_ == 0), is_end=is_end,
+                            ts_acc=ts_acc, ts_add=ts_add, has_seg=has_seg,
+                            seg_ptr=segp, seg_len=segl, n_rows=n_rows,
+                            bit=0, node_in=node_in, node=list(node),
+                            digest=list(digest), out_hi=list(out_hi),
+                            sib=zero8, in_l=zero8, in_r=zero8, comm=comm,
+                            pts_d=[pd0, pd1, pd2], pts_bit=0,
+                            pts_sib=[0] * 8, pts_comm=pts_comm)
+                    ts_acc += ts_add
+                    if s_ == depth:
+                        break
+                    # sibling compress row
+                    bitv, pbit = fr(bits_ptr + s_, bit_base + s_)
+                    if bitv not in (0, 1):
+                        raise ExecutionError(
+                            f"VERIFY_BATCH non-boolean index bit at pc "
+                            f"{pc:#x}")
+                    sib, pts_sib = [], []
+                    for k in range(8):
+                        v_, p_ = fr(sib_ptr + 8 * s_ + k,
+                                    sib_base + 8 * s_ + k)
+                        sib.append(v_), pts_sib.append(p_)
+                    node_in = list(node)
+                    in_l = sib if bitv else node_in
+                    in_r = node_in if bitv else sib
+                    out = perm(list(in_l) + list(in_r))
+                    node, out_hi = out[:8], out[8:]
+                    _append(r_top, pc=pc, ts=ts0, depth=depth, f_op=f,
+                            desc_ptr=desc_ptr, sib_ptr=sib_ptr,
+                            bits_ptr=bits_ptr, commit_ptr=commit_ptr,
+                            s=s_, is_lvl=0, is_sib=1, is_start=0,
+                            is_end=0, ts_acc=ts_acc, ts_add=0, has_seg=0,
+                            seg_ptr=0, seg_len=0, n_rows=0, bit=bitv,
+                            node_in=node_in, node=list(node),
+                            digest=zero8, out_hi=list(out_hi),
+                            sib=list(sib), in_l=list(in_l),
+                            in_r=list(in_r), comm=zero8,
+                            pts_d=[0, 0, 0], pts_bit=pbit,
+                            pts_sib=pts_sib, pts_comm=[0] * 8)
+                pc, ts = pc + 4, ts_acc
 
             elif op in (Poseidon2Opcode.PERM_POS2, Poseidon2Opcode.COMP_POS2):
                 r = recs["native_poseidon2"]
