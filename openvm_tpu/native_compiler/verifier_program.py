@@ -585,17 +585,17 @@ def _emit_verify(b: Builder, vk, log_degrees: list):
                 loc, nxt = ac_vals[aci]
                 aci += 1
                 wp_ = avk.widths.after_challenge
+                monos = [b.econst(tuple(1 if t == c2 else 0
+                                        for t in range(4)))
+                         for c2 in range(4)]
 
                 def unflatten(arr):
                     out = []
                     for j in range(wp_):
-                        acc = b.econst((0, 0, 0, 0))
-                        for c2 in range(4):
-                            mono = ops.const(0)  # placeholder, build below
-                            mono = b.econst(tuple(
-                                1 if t == c2 else 0 for t in range(4)))
+                        acc = b.emul(monos[0], _ext_cells(b, arr, 4 * j))
+                        for c2 in range(1, 4):
                             acc = b.eadd(acc, b.emul(
-                                mono, _ext_cells(b, arr, 4 * j + c2)))
+                                monos[c2], _ext_cells(b, arr, 4 * j + c2)))
                         out.append(acc)
                     return out
                 perm_pair = (unflatten(loc), unflatten(nxt))
@@ -624,6 +624,9 @@ def _emit_verify(b: Builder, vk, log_degrees: list):
             num_chunks = 1 << lqd
             w_q = bb.two_adic_generator_int(log_n + lqd)
             quotient = b.econst((0, 0, 0, 0))
+            qmonos = [b.econst(tuple(1 if t == e_i else 0
+                                     for t in range(4)))
+                      for e_i in range(4)]
             for k in range(num_chunks):
                 zp = one_ext
                 for j in range(num_chunks):
@@ -637,12 +640,10 @@ def _emit_verify(b: Builder, vk, log_degrees: list):
                     zp_first = (pow((s_k * s_j_inv) % P, n, P) - 1) % P
                     zp = b.emul(zp, b.emul_felt(zp_zeta,
                                                 pow(zp_first, -1, P)))
-                inner = b.econst((0, 0, 0, 0))
-                for e_i in range(4):
-                    mono = b.econst(tuple(
-                        1 if t == e_i else 0 for t in range(4)))
+                inner = b.emul(qmonos[0], _ext_cells(b, q_vals[i][k], 0))
+                for e_i in range(1, 4):
                     inner = b.eadd(inner, b.emul(
-                        mono, _ext_cells(b, q_vals[i][k], e_i)))
+                        qmonos[e_i], _ext_cells(b, q_vals[i][k], e_i)))
                 quotient = b.eadd(quotient, b.emul(zp, inner))
             for k in range(4):
                 b.assert_eq(folded_c.felt(k), quotient.felt(k))

@@ -188,3 +188,60 @@ class HostOps:
     sub = staticmethod(hsub)
     mul = staticmethod(hmul)
     neg = staticmethod(hneg)
+
+
+# ---------------------------------------------------------------------------
+# Cached-jit DAG column evaluation
+# ---------------------------------------------------------------------------
+#
+# Eagerly walking a DAG with DeviceOps dispatches one device op per node;
+# each distinct (op, shape) is a fresh in-process XLA compile, and a
+# 15-AIR prove walks thousands of nodes — profiling attributed most of the
+# LogUp/lookup wall time to exactly this.  jit_dag_columns traces the walk
+# ONCE per (dag, roots, shapes) and compiles it to a single fused kernel
+# returning the requested roots broadcast to full columns.
+
+import jax as _jax
+
+_DAG_COLS_CACHE: dict = {}
+
+
+def jit_dag_columns(dag, env, roots, n: int):
+    """dag.eval(DeviceOps) of `roots` over an n-row env, one jitted call.
+
+    Returns {root: (N,) base monty column}.  All roots must be
+    base-valued.  env: DeviceOps environment (sels/arrays may be None);
+    next_step is captured statically.
+    """
+    uniq = tuple(dict.fromkeys(roots))
+
+    def shp(x):
+        return None if x is None else (tuple(x.shape), str(x.dtype))
+
+    sels = env.get("sels") or None
+    key = (id(dag), uniq, n,
+           tuple(shp(m) for m in env["main"]),
+           shp(env.get("preprocessed")), shp(env.get("perm")),
+           shp(env.get("publics")), shp(env.get("challenges")),
+           shp(env.get("exposed")),
+           tuple(sorted((k, shp(v)) for k, v in (sels or {}).items())),
+           env.get("next_step"))
+    fn = _DAG_COLS_CACHE.get(key)
+    if fn is None:
+        step = env.get("next_step", 1)
+
+        def run(arrs, dag=dag, uniq=uniq, step=step, n=n):
+            e = dict(arrs)
+            e["next_step"] = step
+            vals = dag.eval(DeviceOps, e, roots=list(uniq))
+            return [jnp.broadcast_to(vals[r][1], (n,)) for r in uniq]
+
+        fn = _jax.jit(run)
+        _DAG_COLS_CACHE[key] = fn
+    arrs = {"main": list(env["main"]),
+            "preprocessed": env.get("preprocessed"),
+            "perm": env.get("perm"), "publics": env.get("publics"),
+            "challenges": env.get("challenges"),
+            "exposed": env.get("exposed"), "sels": sels}
+    out = fn(arrs)
+    return dict(zip(uniq, out))

@@ -187,6 +187,34 @@ def stack_interactions(dag, env, n: int):
     return fields, sc, bus_m
 
 
+_STACK_JIT_CACHE: dict = {}
+
+
+def _stack_interactions_cached(dag, env, n: int):
+    """stack_interactions under jit, cached per (dag, shapes).
+
+    The eager walk dispatches one device op per DAG node per prove — each
+    distinct (op, shape) a fresh in-process XLA compile; profiling put
+    most of the LogUp-phase wall time there.  One traced+compiled kernel
+    per (dag, shapes) serves every prove of that VM config."""
+    def shp(x):
+        return None if x is None else (tuple(x.shape), str(x.dtype))
+
+    key = (id(dag), n, tuple(shp(m) for m in env["main"]),
+           shp(env.get("preprocessed")), shp(env.get("publics")))
+    fn = _STACK_JIT_CACHE.get(key)
+    if fn is None:
+        def run(mains, prep, publics, challenges, dag=dag, n=n):
+            e = {"main": list(mains), "preprocessed": prep, "perm": None,
+                 "publics": publics, "challenges": challenges,
+                 "exposed": ef.zeros((1,)), "sels": None, "next_step": 1}
+            return stack_interactions(dag, e, n)
+        fn = jax.jit(run)
+        _STACK_JIT_CACHE[key] = fn
+    return fn(tuple(env["main"]), env.get("preprocessed"),
+              env["publics"], env["challenges"])
+
+
 def _beta_pows(beta: jnp.ndarray, f_max: int) -> list:
     """[beta^1 .. beta^f_max] as (4,) ext monty values (log-depth shared)."""
     pows = {1: beta}
@@ -249,7 +277,7 @@ def build_perm_trace(dag, env, chunks: list[list[int]], challenges):
          else env["preprocessed"].shape[0])
     # field/count expressions must see the full domain (offset=1 rolls wrap
     # around the whole trace), so stack first, then block rows
-    fields, sc, bus_m = stack_interactions(dag, env, n)
+    fields, sc, bus_m = _stack_interactions_cached(dag, env, n)
 
     import numpy as _np
 

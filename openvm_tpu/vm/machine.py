@@ -596,13 +596,15 @@ class VirtualMachine:
             if prep is not None:
                 env["preprocessed"] = prep
             roots = [r for (_, frs, cr) in sends for r in frs + [cr]]
-            vals = dag.eval(DeviceOps, env, roots=roots)
+            # single jitted kernel per (dag, shapes) — the eager DAG walk
+            # dispatched one op per node per prove (see jit_dag_columns)
+            from ..stark.evaluator import jit_dag_columns
+            cols = jit_dag_columns(dag, env, roots, n)
 
             # one stacked device->host transfer per AIR (pulling ~500
             # columns individually cost ~25s/prove in profiling)
             uniq = list(dict.fromkeys(roots))
-            stacked = jnp.stack([jnp.broadcast_to(vals[r][1], (n,))
-                                 for r in uniq])
+            stacked = jnp.stack([cols[r] for r in uniq])
             host = np.asarray(bb.from_monty(stacked), dtype=np.uint64)
             root_row = {r: k for k, r in enumerate(uniq)}
 
