@@ -119,7 +119,6 @@ def run_real_elf_prove(n_loop: int) -> dict:
     from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
     from openvm_tpu.vm.transpiler import transpile_elf
 
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     exe = transpile_elf(load_elf(open(REAL_FIB_ELF, "rb").read()))
     inputs = [list(int(n_loop).to_bytes(8, "little"))]
     vm = VirtualMachine(Rv32Config(executors=REAL_ELF_EXECUTORS))
@@ -128,18 +127,22 @@ def run_real_elf_prove(n_loop: int) -> dict:
     t_keygen = time.time() - t0
     t0 = time.time()
     proof, pre = vm.prove(exe, inputs=inputs)
+    t_cold = time.time() - t0
+    # steady-state measurement: the cold prove above paid every one-time
+    # XLA compile (in-process + persistent cache); the warm prove is the
+    # per-proof figure of merit (the reference's kernels are AOT-compiled
+    # Rust/CUDA — its per-proof time contains no JIT either).  With the
+    # compiles cached the warm prove costs seconds, so it always fits.
+    t0 = time.time()
+    proof, pre = vm.prove(exe, inputs=inputs)
     t_prove = time.time() - t0
-    if t_prove < budget_s / 3:
-        # warm: re-measure steady-state (compiles are cached in-process)
-        t0 = time.time()
-        proof, pre = vm.prove(exe, inputs=inputs)
-        t_prove = time.time() - t0
     vm.verify(proof)
     cells = sum((1 << p.log_degree)
                 * (vm.airs[p.air_id].width
                    + sum(vm.airs[p.air_id].cached_main_widths))
                 for p in proof.per_air)
-    return {"insns": pre.instret, "prove_s": t_prove, "keygen_s": t_keygen,
+    return {"insns": pre.instret, "prove_s": t_prove, "cold_prove_s": t_cold,
+            "keygen_s": t_keygen,
             "insn_per_s": pre.instret / t_prove,
             "cells": cells, "cells_per_s": cells / t_prove}
 
@@ -282,6 +285,7 @@ def main():
         if cpu_rate else 1.0,
         "insns": res["insns"],
         "proof_time_s": round(res["prove_s"], 2),
+        "cold_prove_s": round(res.get("cold_prove_s", res["prove_s"]), 2),
         "trace_cells_per_s": round(res["cells_per_s"], 1)}))
 
 

@@ -81,12 +81,31 @@ class DuplexChallenger:
         return self.sample_bits(bits) == 0
 
     def grind(self, bits: int) -> int:
-        """Find (and absorb) a witness w with sample_bits(bits)==0."""
-        w = 0
+        """Find (and absorb) a witness w with sample_bits(bits)==0.
+
+        Vectorized: a candidate observe(w)+sample() always reduces to ONE
+        duplex of the current state with the input buffer (plus w) written
+        over the leading lanes, with the sampled value at lane RATE-1 —
+        so candidates are searched in batches through the batched host
+        permutation (~2^bits scalar permutes otherwise; at the reference's
+        16 PoW bits that is the dominant host cost of a proof)."""
+        mask = (1 << bits) - 1
+        k = len(self.input_buffer)
+        assert k < RATE  # observe() duplexes eagerly at RATE
+        base_state = self.state.astype(np.uint64).copy()
+        base_state[:k] = self.input_buffer
+        chunk = 1 << 14
+        w0 = 0
         while True:
-            if self.clone().check_witness(bits, w):
+            states = np.broadcast_to(
+                base_state, (chunk, WIDTH)).astype(np.uint64).copy()
+            states[:, k] = np.arange(w0, w0 + chunk, dtype=np.uint64)
+            out = self._perm.permute_batch(states)
+            hits = np.nonzero((out[:, RATE - 1] & mask) == 0)[0]
+            if hits.size:
+                w = w0 + int(hits[0])
                 break
-            w += 1
+            w0 += chunk
         ok = self.check_witness(bits, w)
         assert ok
         return w

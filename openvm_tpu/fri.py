@@ -152,29 +152,104 @@ def answer_query(index: int, trees: list, evals_per_step: list) -> list:
     return steps
 
 
-def answer_queries_batch(indices, trees: list, evals_per_step: list):
-    """answer_query for several indices with batched device gathers.
-
-    Returns steps_per_query[qi] = [CommitPhaseStep per fold level]."""
+def gather_queries_device(indices, trees: list, evals_per_step: list):
+    """Device-side gathers for all commit-phase query openings: per fold
+    level, the sibling values and the pair-tree opening paths, left on
+    device for a single batched host transfer (see
+    merkle.gather_rows_device)."""
     import jax.numpy as jnp
-    q = len(indices)
     idx_arr = np.asarray(indices, dtype=np.int64)
     per_level = []
     for i, (tree, evals) in enumerate(zip(trees, evals_per_step)):
         lvl = idx_arr >> i
-        sibs = np.asarray(bb.from_monty(evals[jnp.asarray(lvl ^ 1)]),
-                          dtype=np.uint64)          # (q, 4)
-        proofs = merkle.open_rows_batch(tree, list(lvl >> 1))
-        per_level.append((sibs, proofs))
+        sibs = bb.from_monty(evals[jnp.asarray(lvl ^ 1)])  # (q, 4) dev
+        paths = merkle.gather_rows_device(tree, list(lvl >> 1))
+        per_level.append({"sibs": sibs, "paths": paths})
+    return per_level
+
+
+def format_gathered_queries(per_level, q: int):
+    """Host-side formatting of fetched gather_queries_device results into
+    steps_per_query[qi] = [CommitPhaseStep per fold level]."""
+    paths = [merkle.format_gathered_rows(lv["paths"], q) for lv in per_level]
     return [[CommitPhaseStep(
-        sibling_value=tuple(int(x) for x in per_level[i][0][qi]),
-        opening_proof=per_level[i][1][qi][1])
-        for i in range(len(trees))] for qi in range(q)]
+        sibling_value=tuple(int(x) for x in per_level[i]["sibs"][qi]),
+        opening_proof=paths[i][qi][1])
+        for i in range(len(per_level))] for qi in range(q)]
+
+
+def answer_queries_batch(indices, trees: list, evals_per_step: list):
+    """answer_query for several indices with one device round-trip.
+
+    Returns steps_per_query[qi] = [CommitPhaseStep per fold level]."""
+    import jax
+    per_level = jax.device_get(
+        gather_queries_device(indices, trees, evals_per_step))
+    return format_gathered_queries(per_level, len(indices))
 
 
 # ---------------------------------------------------------------------------
 # Host-side verification helpers (canonical ints)
 # ---------------------------------------------------------------------------
+
+def verify_queries_host(config, commit_phase_commits, indices,
+                        steps_per_query, betas, reduced_openings,
+                        log_max_lde: int, final_poly_ct) -> np.ndarray:
+    """Vectorized `verify_query_host` over all queries at once.
+
+    indices: (Q,) ints; steps_per_query[qi][i] = CommitPhaseStep;
+    reduced_openings: {log_height: (Q, 4) canonical uint64}.
+    Returns (Q,) bool, identical per-query semantics to the scalar path.
+    """
+    from .stark import npext as nx
+    q = len(indices)
+    idx_arr = np.asarray(indices, dtype=np.int64)
+    folded = np.asarray(reduced_openings[log_max_lde], dtype=np.uint64) % bb.P
+    ok = np.ones(q, dtype=bool)
+
+    for i, (commit, beta) in enumerate(zip(commit_phase_commits, betas)):
+        log_folded = log_max_lde - i - 1
+        idx_level = idx_arr >> i
+        bit = (idx_level & 1)[:, None] == 1
+        sibs = np.asarray([steps_per_query[k][i].sibling_value
+                           for k in range(q)], dtype=np.uint64)  # (Q, 4)
+        e0 = np.where(bit, sibs, folded)
+        e1 = np.where(bit, folded, sibs)
+
+        rows = np.concatenate([e0, e1], axis=1)  # (Q, 8)
+        depth = max(log_folded, 0)
+        if any(len(steps_per_query[k][i].opening_proof) != depth
+               for k in range(q)):
+            return np.zeros(q, dtype=bool)  # malformed path length
+        proofs_q = [np.asarray([steps_per_query[k][i].opening_proof[lv]
+                                for k in range(q)], dtype=np.uint64)
+                    for lv in range(depth)]
+        ok &= merkle.verify_batch_queries(
+            np.asarray(commit, dtype=np.uint64),
+            [(1 << log_folded, 8)], idx_level >> 1, [rows], proofs_q)
+
+        w = bb.two_adic_generator_int(log_folded + 1)
+        if log_folded > 0:
+            rev = nx.rev_bits_arr(idx_level >> 1, log_folded)
+            y0 = nx.npow_base_varexp(w, rev)  # (Q,)
+        else:
+            y0 = np.ones(q, dtype=np.uint64)
+        xs0 = nx.from_base(y0)
+        xs1 = nx.from_base((bb.P - y0) % bb.P)
+        beta_b = np.asarray(beta, dtype=np.uint64)[None, :] % bb.P
+        num = nx.nmul(nx.nsub(np.broadcast_to(beta_b, (q, 4)), xs0),
+                      nx.nsub(e1, e0))
+        folded = nx.nadd(e0, nx.nmul(num, nx.ninv(nx.nsub(xs1, xs0))))
+        ro = reduced_openings.get(log_folded)
+        if ro is not None:
+            beta_sq = nx.nmul(beta_b, beta_b)
+            folded = nx.nadd(folded, nx.nmul(
+                np.broadcast_to(beta_sq, (q, 4)),
+                np.asarray(ro, dtype=np.uint64) % bb.P))
+    ok &= np.all(folded == np.asarray(final_poly_ct,
+                                      dtype=np.uint64)[None, :], axis=1)
+    return ok
+
 
 def verify_query_host(config, commit_phase_commits, index: int,
                       commit_phase_openings, betas, reduced_openings,

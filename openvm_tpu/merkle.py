@@ -112,44 +112,107 @@ def open_row(tree: MerkleTree, index: int):
     return opened, proof
 
 
-def open_rows_batch(tree: MerkleTree, indices):
-    """Open all matrices + paths at several indices with one device
-    gather + host transfer per matrix/layer (``open_row`` per query costs
-    a device round-trip per matrix AND per path layer — the FRI query
-    phase's dominant cost at production query counts).
+def gather_rows_device(tree: MerkleTree, indices):
+    """Device-side gathers for a batched opening: all matrix rows and all
+    path sibling digests at the given indices, left ON DEVICE (canonical
+    form).  The caller batches the host transfer of MANY such gathers into
+    one ``jax.device_get`` — each synchronous transfer on a tunneled TPU
+    costs a full round-trip, and the FRI query phase makes hundreds.
 
-    Returns [(opened_rows, proof)] in ``indices`` order, formats matching
-    ``open_row``."""
+    Returns {"mats": [(q, w) dev], "sibs": [(q, 8) dev]}."""
     import jax.numpy as jnp
     from .field import babybear as bb
     max_h = tree.max_height()
     log_max = max_h.bit_length() - 1
-    q = len(indices)
     idx_arr = np.asarray(indices, dtype=np.int64)
 
     mat_rows = []
     for m in tree.matrices:
-        h = int(m.shape[0])
-        log_h = h.bit_length() - 1
-        rows = np.asarray(
-            bb.from_monty(m[jnp.asarray(idx_arr >> (log_max - log_h))]),
-            dtype=np.uint64)                       # (q, w)
-        mat_rows.append(rows)
+        log_h = int(m.shape[0]).bit_length() - 1
+        mat_rows.append(
+            bb.from_monty(m[jnp.asarray(idx_arr >> (log_max - log_h))]))
 
     layer_sibs = []
     idxs = idx_arr.copy()
     for layer in tree.digest_layers[:-1]:
-        sibs = np.asarray(bb.from_monty(layer[jnp.asarray(idxs ^ 1)]),
-                          dtype=np.uint64)         # (q, 8)
-        layer_sibs.append(sibs)
+        layer_sibs.append(bb.from_monty(layer[jnp.asarray(idxs ^ 1)]))
         idxs >>= 1
+    return {"mats": mat_rows, "sibs": layer_sibs}
 
+
+def format_gathered_rows(gathered, q: int):
+    """Host-side formatting of a fetched ``gather_rows_device`` result into
+    [(opened_rows, proof)] per query, formats matching ``open_row``."""
     out = []
     for k in range(q):
-        opened = [rows[k] for rows in mat_rows]
-        proof = [sibs[k] for sibs in layer_sibs]
+        opened = [np.asarray(rows[k], dtype=np.uint64)
+                  for rows in gathered["mats"]]
+        proof = [np.asarray(s[k], dtype=np.uint64)
+                 for s in gathered["sibs"]]
         out.append((opened, proof))
     return out
+
+
+def open_rows_batch(tree: MerkleTree, indices):
+    """Open all matrices + paths at several indices with one device
+    round-trip for the whole batch.
+
+    Returns [(opened_rows, proof)] in ``indices`` order, formats matching
+    ``open_row``."""
+    import jax
+    gathered = jax.device_get(gather_rows_device(tree, indices))
+    return format_gathered_rows(gathered, len(indices))
+
+
+def verify_batch_queries(root: np.ndarray, dims, indices,
+                         opened_rows_q, proofs_q) -> np.ndarray:
+    """Vectorized `verify_batch` over a query axis.
+
+    indices: (Q,) int array; opened_rows_q: per matrix an (Q, w) canonical
+    uint64 array; proofs_q: per path level an (Q, 8) canonical uint64 array.
+    Returns (Q,) bool.  Semantics identical to Q scalar `verify_batch`
+    calls — used by the host verifier where the scalar path costs ~Q*depth
+    Poseidon2 permutes in scalar numpy.
+    """
+    host = p2.Poseidon2Host()
+    q = len(indices)
+    idx = np.asarray(indices, dtype=np.int64)
+
+    def hash_rows_q(rows_list):
+        flat = np.concatenate([np.asarray(r, dtype=np.uint64) % p2.P
+                               for r in rows_list], axis=1)  # (Q, sum_w)
+        state = np.zeros((q, p2.WIDTH), dtype=np.uint64)
+        for c0 in range(0, flat.shape[1], p2.RATE):
+            chunk = flat[:, c0:c0 + p2.RATE]
+            k = chunk.shape[1]
+            state = np.concatenate([chunk, state[:, k:]], axis=1)
+            state = host.permute_batch(state)
+        return state[:, :DIGEST_LEN].copy()
+
+    def compress_q(a, b):
+        return host.permute_batch(
+            np.concatenate([a, b], axis=1))[:, :DIGEST_LEN].copy()
+
+    heights = [h for (h, _) in dims]
+    max_h = max(heights)
+    by_height: dict[int, list] = {}
+    for (h, _), rows in zip(dims, opened_rows_q):
+        by_height.setdefault(h, []).append(rows)
+
+    digest = hash_rows_q(by_height[max_h])
+    size = max_h
+    for sib in proofs_q:
+        sib = np.asarray(sib, dtype=np.uint64)
+        bit = (idx & 1)[:, None] == 1
+        left = np.where(bit, sib, digest)
+        right = np.where(bit, digest, sib)
+        digest = compress_q(left, right)
+        idx >>= 1
+        size //= 2
+        if size in by_height:
+            digest = compress_q(digest, hash_rows_q(by_height[size]))
+    return np.all(digest == np.asarray(root, dtype=np.uint64)[None, :],
+                  axis=1)
 
 
 def verify_batch(root: np.ndarray, dims, index: int, opened_rows, proof) -> bool:

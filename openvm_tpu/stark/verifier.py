@@ -255,50 +255,82 @@ def _verify_pcs(cfg, rounds, fri_proof: fri_mod.FriProof, log_max_lde: int,
     _check(ch.check_witness(cfg.fri.proof_of_work_bits,
                             fri_proof.pow_witness), "fri pow")
 
+    # ---- batched query verification (vectorized over the query axis;
+    # semantics identical to per-query scalar checks) ---------------------
+    from . import npext as nx
+    nq = cfg.fri.num_queries
+    indices = np.asarray([ch.sample_bits(log_max_lde) for _ in range(nq)],
+                         dtype=np.int64)
     for qp in fri_proof.query_proofs:
-        index = ch.sample_bits(log_max_lde)
         _check(len(qp.input_proof) == len(rounds), "input proof len")
-        ro = {}
-        alpha_pow = {}
-        for (commit, mats), batch in zip(rounds, qp.input_proof):
-            batch_max = max(lh for (lh, _, _, _) in mats)
-            reduced_index = index >> (log_max_lde - batch_max)
-            # reduced opening accumulation
-            opened_rows = batch.opened_values
-            _check(len(opened_rows) == len(mats), "opened rows len")
-            for (lh, w, pts, values), row in zip(mats, opened_rows):
-                _check(len(row) == w, "row width")
-                row_idx = index >> (log_max_lde - lh)
-                x = (bb.GENERATOR *
-                     pow(bb.two_adic_generator_int(lh),
-                         fri_mod._rev_bits(row_idx, lh), P)) % P
-                cur_ro = ro.setdefault(lh, base(0))
-                cur_ap = alpha_pow.setdefault(lh, base(1))
-                for z, ps_at_z in zip(pts, values):
-                    n_acc = base(0)
-                    apow = base(1)
-                    for t in range(w):
-                        diff = hsub(tuple(ps_at_z[t]), base(int(row[t])))
-                        n_acc = hadd(n_acc, hmul(apow, diff))
-                        apow = hmul(apow, alpha)
-                    quot = hmul(n_acc, hinv(hsub(z, base(x))))
-                    cur_ro = hadd(cur_ro, hmul(cur_ap, quot))
-                    cur_ap = hmul(cur_ap, _ext_pow(alpha, w))
-                ro[lh] = cur_ro
-                alpha_pow[lh] = cur_ap
-            # batch merkle verification (heights sorted desc internally)
-            dims = [(1 << lh, w) for (lh, w, _, _) in mats]
-            ok = merkle.verify_batch(
-                np.asarray(commit, dtype=np.uint64), dims, reduced_index,
-                [np.asarray(r, dtype=np.uint64) for r in opened_rows],
-                batch.opening_proof)
-            _check(ok, "batch opening invalid")
 
-        ok = fri_mod.verify_query_host(
-            cfg, fri_proof.commit_phase_commits, index,
-            qp.commit_phase_openings, betas, ro, log_max_lde,
-            fri_proof.final_poly[0])
-        _check(ok, "fri query invalid")
+    # precompute alpha powers up to the max width (ext, canonical)
+    max_w = max(w for (_, mats) in rounds for (_, w, _, _) in mats)
+    apows = np.zeros((max_w + 1, 4), dtype=np.uint64)
+    cur = base(1)
+    for t in range(max_w + 1):
+        apows[t] = cur
+        cur = hmul(cur, alpha)
+
+    ro = {}
+    alpha_pow = {}
+    for ri, (commit, mats) in enumerate(rounds):
+        batch_max = max(lh for (lh, _, _, _) in mats)
+        reduced_index = indices >> (log_max_lde - batch_max)
+        opened_rows_q = []
+        for mi, (lh, w, pts, values) in enumerate(mats):
+            _check(all(len(qp.input_proof[ri].opened_values) == len(mats)
+                       and len(qp.input_proof[ri].opened_values[mi]) == w
+                       for qp in fri_proof.query_proofs), "row width")
+            rows = np.asarray(
+                [qp.input_proof[ri].opened_values[mi]
+                 for qp in fri_proof.query_proofs], dtype=np.uint64)
+            opened_rows_q.append(rows % P)
+            row_idx = indices >> (log_max_lde - lh)
+            rev = nx.rev_bits_arr(row_idx, lh)
+            x = (bb.GENERATOR
+                 * nx.npow_base_varexp(
+                     bb.two_adic_generator_int(lh), rev)) % P  # (Q,)
+            cur_ro = ro.setdefault(lh, np.zeros((nq, 4), dtype=np.uint64))
+            cur_ap = alpha_pow.setdefault(lh, base(1))
+            for z, ps_at_z in zip(pts, values):
+                vals = np.asarray([tuple(v) for v in ps_at_z],
+                                  dtype=np.uint64) % P       # (w, 4)
+                diff = nx.nsub(vals[None, :, :],
+                               nx.from_base(rows % P))       # (Q, w, 4)
+                prod = nx.nmul(np.broadcast_to(apows[None, :w, :],
+                                               (nq, w, 4)), diff)
+                n_acc = (prod.sum(axis=1) % P)               # (Q, 4)
+                z_arr = np.asarray(z, dtype=np.uint64)[None, :] % P
+                quot = nx.nmul(n_acc, nx.ninv(
+                    nx.nsub(np.broadcast_to(z_arr, (nq, 4)),
+                            nx.from_base(x))))
+                cap = np.asarray(cur_ap, dtype=np.uint64)[None, :]
+                cur_ro = nx.nadd(cur_ro, nx.nmul(
+                    np.broadcast_to(cap, (nq, 4)), quot))
+                cur_ap = hmul(cur_ap, tuple(int(v) for v in apows[w]))
+            ro[lh] = cur_ro
+            alpha_pow[lh] = cur_ap
+        dims = [(1 << lh, w) for (lh, w, _, _) in mats]
+        depth = len(fri_proof.query_proofs[0].input_proof[ri].opening_proof)
+        _check(all(len(qp.input_proof[ri].opening_proof) == depth
+                   for qp in fri_proof.query_proofs), "path depth")
+        proofs_q = [np.asarray(
+            [qp.input_proof[ri].opening_proof[lv]
+             for qp in fri_proof.query_proofs], dtype=np.uint64)
+            for lv in range(depth)]
+        ok = merkle.verify_batch_queries(
+            np.asarray(commit, dtype=np.uint64), dims, reduced_index,
+            opened_rows_q, proofs_q)
+        _check(bool(np.all(ok)), "batch opening invalid")
+
+    steps_per_query = [qp.commit_phase_openings
+                       for qp in fri_proof.query_proofs]
+    ok = fri_mod.verify_queries_host(
+        cfg, fri_proof.commit_phase_commits, indices,
+        steps_per_query, betas, ro, log_max_lde,
+        fri_proof.final_poly[0])
+    _check(bool(np.all(ok)), "fri query invalid")
 
 
 def _verify_air_constraints(cfg, avk, p, prep_pair, mains, perm_pair,
