@@ -36,3 +36,16 @@ if (not _os.environ.get("OPENVM_TPU_NO_CACHE")
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def ensure_cache_backend_ok():
+    """Runtime backstop for the env-var gate above: if jax actually
+    resolved to the CPU backend (e.g. the platform was forced via
+    jax.config AFTER import, so JAX_PLATFORMS never said "cpu"), turn the
+    persistent cache off before any compilation is reused.  Called from
+    keygen/prove entry points."""
+    import jax as _jax2
+
+    if (_jax2.config.jax_compilation_cache_dir
+            and _jax2.default_backend() == "cpu"):
+        _jax2.config.update("jax_compilation_cache_dir", None)

@@ -113,27 +113,36 @@ def _shift_powers(log_n: int, shift: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def coset_lde(x: jnp.ndarray, log_blowup: int, shift: int = bb.GENERATOR,
-              bitrev_out: bool = True, in_shift: int = 1) -> jnp.ndarray:
+              bitrev_out: bool = True, in_shift: int = 1,
+              return_coeffs: bool = False) -> jnp.ndarray:
     """Low-degree extend columns of x onto coset shift*<g_{N<<blowup}>.
 
     x holds evaluations over the coset in_shift*<g_N> (natural order).
     Returns evaluations in bit-reversed row order when bitrev_out (the order
     committed to Merkle trees, mirroring p3-fri's BitReversedMatrixView).
+
+    return_coeffs=True additionally returns the raw INTT coefficients a_i
+    (natural order, monty, BEFORE the coset-shift multiply): the column
+    polynomial satisfies p(z) = sum_i a_i (z / in_shift)^i — the prover's
+    out-of-domain openings evaluate this dot product directly instead of
+    a barycentric sum over the whole LDE.
     """
     n, w = x.shape
     log_n = int(n).bit_length() - 1
     assert 1 << log_n == n
-    coeffs = intt(x)
+    raw_coeffs = intt(x)
     eff_shift = (shift * pow(in_shift, -1, bb.P)) % bb.P
-    coeffs = bb.mul(coeffs,
+    coeffs = bb.mul(raw_coeffs,
                     jnp.asarray(_shift_powers(log_n, eff_shift))[:, None])
     big_n = n << log_blowup
     padded = jnp.concatenate(
         [coeffs, jnp.zeros((big_n - n, w), dtype=jnp.uint32)], axis=0)
     big_log = log_n + log_blowup
     y = _dif_stages(padded, big_log, inverse=False)  # bit-reversed output
-    if bitrev_out:
-        return y
-    return bitrev_rows(y)
+    if not bitrev_out:
+        y = bitrev_rows(y)
+    if return_coeffs:
+        return y, raw_coeffs
+    return y

@@ -128,6 +128,9 @@ def keygen(airs: list[Air], config: StarkConfig = StarkConfig(),
            ) -> MultiStarkProvingKey:
     import jax.numpy as jnp
 
+    from .. import ensure_cache_backend_ok
+    ensure_cache_backend_ok()
+
     per_air_vk = []
     per_air_pk_data = []
     for air in airs:

@@ -96,11 +96,31 @@ class AirProvingContext:
 # ---------------------------------------------------------------------------
 
 
+# When set (see parallel.trace_sharding), every trace matrix entering the
+# prover is placed with this jax sharding; all downstream device compute
+# (NTT, Merkle, LogUp, quotient, FRI) then executes distributed across the
+# mesh — XLA inserts the collectives implied by the data movement
+# (computation-follows-data).  Proof bytes are identical to single-device
+# runs: all field ops are exact modular integer arithmetic, so shard-local
+# reduction orders cannot change any value.
+_TRACE_SHARDING = None
+
+
+def _maybe_shard(dev: jnp.ndarray) -> jnp.ndarray:
+    s = _TRACE_SHARDING
+    if s is None or dev.ndim != 2:
+        return dev
+    n_row = s.mesh.shape.get("row", 1)
+    if dev.shape[0] % n_row:
+        return dev  # tiny aux matrices stay replicated
+    return jax.device_put(dev, s)
+
+
 def _to_device_monty(m) -> jnp.ndarray:
     if isinstance(m, jnp.ndarray) and m.dtype == jnp.uint32:
-        return m  # assumed already monty on device
+        return _maybe_shard(m)  # assumed already monty on device
     arr = np.asarray(m, dtype=np.uint64) % P
-    return bb.to_monty(jnp.asarray(arr.astype(np.uint32)))
+    return _maybe_shard(bb.to_monty(jnp.asarray(arr.astype(np.uint32))))
 
 
 def _ext_scalar(canonical4) -> jnp.ndarray:
@@ -142,38 +162,57 @@ def _lde_points(log_size: int, shift: int) -> np.ndarray:
     return pts[ntt.bitrev_perm(log_size)]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _barycentric_open(lde_bitrev: jnp.ndarray, z: jnp.ndarray,
-                      log_lde: int, shift: int = bb.GENERATOR) -> jnp.ndarray:
-    """Evaluate all column polys at ext point z from LDE evals (bitrev).
+@functools.partial(jax.jit, static_argnums=(1,))
+def _ext_pows_jit(u: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Powers u^0..u^{N-1} of one ext point by doubling.  (N, 4) monty."""
+    pows = ef.ones((1,))
+    cur = u[None, :]
+    while pows.shape[0] < n:
+        step = ef.mul(pows, jnp.broadcast_to(cur, pows.shape))
+        pows = jnp.concatenate([pows, step], axis=0)[:n]
+        cur = ef.mul(cur, cur)
+    return pows
 
-    p(z) = (z^M - s^M) / (M * s^M) * sum_j x_j v_j / (z - x_j), M = 2^log_lde.
-    Returns (W, 4) ext monty.
+
+@jax.jit
+def _open_dot_jit(coeffs: jnp.ndarray, zpows: jnp.ndarray,
+                  geos: jnp.ndarray) -> jnp.ndarray:
+    """out[p, t] = sum_i coeffs[i, t] * zpows[i] * geos[p, i].
+
+    coeffs (N, W) base monty; zpows (N, 4) ext monty (zeta powers);
+    geos (Pts, N) base monty — point p's power series is
+    zeta^i * geos[p, i] (geometric in the base field: zeta*g_h and
+    zeta/in_shift both factor this way), so ONE expensive power-series
+    graph (_ext_pows_jit) serves every matrix and this dot's compile is
+    tiny.  Replaces barycentric interpolation over the committed LDE —
+    the per-shape eager graphs there dominated whole-proof cost on hosts
+    where XLA compiles are expensive (reference opens from coefficients
+    too: p3-fri TwoAdicFriPcs).  Returns (Pts, W, 4) ext monty.
     """
-    m = 1 << log_lde
-    xs = jnp.asarray(_lde_points(log_size=log_lde, shift=shift))  # (M,) monty
-    z_b = jnp.broadcast_to(z, (m, 4))
-    zmx = ef.sub(z_b, ef.from_base(xs))
-    zmx_inv = ef.inv(zmx)  # (M, 4)
-    weights = ef.scale(zmx_inv, xs)  # x_j / (z - x_j)
-    # factor = (z^M - s^M) / (M * s^M)
-    z_m = ef.exp_u64(z, m)
-    s_m = pow(shift, m, P)
-    factor = ef.scale(
-        ef.sub(z_m, ef.from_base(bb.full((), s_m))),
-        bb.full((), pow((m * s_m) % P, -1, P)))
-    # per column: sum_j weights_j * v_{j,t}
-    n, w = lde_bitrev.shape
-    outs = []
-    chunk = 1 << 16
-    acc = None
-    for r0 in range(0, n, chunk):
-        blk = lde_bitrev[r0:r0 + chunk]  # (R, W)
-        wblk = weights[r0:r0 + chunk]  # (R, 4)
-        prod = bb.mul(blk[:, :, None], wblk[:, None, :])  # (R, W, 4)
-        s = bb.sum_mod(prod, axis=0)  # (W, 4)
-        acc = s if acc is None else bb.add(acc, s)
-    return ef.mul(jnp.broadcast_to(factor, acc.shape), acc)
+    n, w = coeffs.shape
+    pts = geos.shape[0]
+    acc = ef.zeros((pts, w))
+    chunk = 1 << 13
+    for i0 in range(0, n, chunk):
+        blk = coeffs[i0:i0 + chunk]                       # (R, W)
+        pz = zpows[i0:i0 + chunk]                         # (R, 4)
+        g = geos[:, i0:i0 + chunk]                        # (Pts, R)
+        pblk = bb.mul(g[:, :, None], pz[None, :, :])      # (Pts, R, 4)
+        prod = bb.mul(blk[None, :, :, None], pblk[:, :, None, :])
+        acc = bb.add(acc, bb.sum_mod(prod, axis=1))       # (Pts, W, 4)
+    return acc
+
+
+def _geo_series(mult: int, n: int) -> np.ndarray:
+    """(n,) base monty host array: mult^0..mult^{n-1} (by doubling)."""
+    out = np.ones(1, dtype=np.uint64)
+    k = 1
+    while k < n:
+        step = (out * pow(mult, k, P)) % P  # u64: operands < 2^31
+        out = np.concatenate([out, step])[:n]
+        k = len(out)
+    R = (1 << 32) % P
+    return ((out * R) % P).astype(np.uint32)  # to monty form
 
 
 def _selectors_on_domain(log_n: int, log_domain: int, shift: int):
@@ -259,6 +298,8 @@ class _MatInfo:
     log_lde: int
     points: list  # canonical ext 4-tuples (z values)
     opened: list = None  # filled later: [(W,4) canonical per point]
+    coeffs: jnp.ndarray = None  # (N, W) base monty INTT coefficients
+    in_shift: int = 1  # p(z) = sum_i coeffs_i (z / in_shift)^i
 
 
 @dataclass
@@ -271,6 +312,9 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
     """Prove the given AIR instances. ctxs: list[AirProvingContext]."""
     import os
     import time
+
+    from .. import ensure_cache_backend_ok
+    ensure_cache_backend_ok()
 
     _t0 = [time.time()]
     _timing = os.environ.get("OPENVM_TPU_TIMING")
@@ -306,9 +350,14 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
     _pool = ThreadPoolExecutor(max_workers=4)
 
     cached_inputs = [(i, m) for i, cas in enumerate(cacheds) for m in cas]
-    cached_ldes = [(i, ntt.coset_lde(m, lb)) for (i, m) in cached_inputs]
-    common_ldes = [ntt.coset_lde(m, lb) if m is not None else None
-                   for m in commons]
+    cached_pairs = [(i, ntt.coset_lde(m, lb, return_coeffs=True))
+                    for (i, m) in cached_inputs]
+    cached_ldes = [(i, y) for (i, (y, _)) in cached_pairs]
+    cached_coeffs = [c for (_, (_, c)) in cached_pairs]
+    common_pairs = [ntt.coset_lde(m, lb, return_coeffs=True)
+                    if m is not None else None for m in commons]
+    common_ldes = [p[0] if p is not None else None for p in common_pairs]
+    common_coeffs = [p[1] if p is not None else None for p in common_pairs]
     common_present = [i for i, m in enumerate(common_ldes) if m is not None]
     cached_trees = [merkle.commit([lde]) for (_, lde) in cached_ldes]
     common_tree = merkle.commit([common_ldes[i] for i in common_present])
@@ -350,6 +399,7 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         # shape-cached across AIRs, and jitting the whole per-air closure
         # trips a pathological XLA:CPU compile for wide interactions (the
         # 30+-term beta chains feeding the inverse scan).
+        cumsums_dev = {}
         for i, (c, vk) in enumerate(zip(ctxs, vks)):
             if not vk.widths.after_challenge:
                 continue
@@ -367,12 +417,20 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
                                             vk.interaction_chunks,
                                             challenges_dev)
             perm_traces[i] = perm
-            cum_host = np.asarray(bb.from_monty(cumsum), dtype=np.uint64)
+            cumsums_dev[i] = bb.from_monty(cumsum)
+        # the challenges were sampled BEFORE any cumsum, so the exposed
+        # values can be fetched in one host transfer and observed in air
+        # order — transcript-identical to per-air fetching
+        cumsums_host = jax.device_get(cumsums_dev)
+        for i in sorted(cumsums_host):
+            cum_host = np.asarray(cumsums_host[i], dtype=np.uint64)
             exposed[i] = [tuple(int(x) for x in cum_host)]
             challenger.observe_ext(cum_host)
         perm_order = [i for i in range(len(ctxs)) if i in perm_traces]
+        perm_coeffs = {}
         for i in perm_order:
-            perm_ldes[i] = ntt.coset_lde(perm_traces[i], lb)
+            perm_ldes[i], perm_coeffs[i] = ntt.coset_lde(
+                perm_traces[i], lb, return_coeffs=True)
         perm_tree = merkle.commit([perm_ldes[i] for i in perm_order])
         after_challenge_commits = [perm_tree.root]
         challenger.observe_slice(perm_tree.root)
@@ -519,10 +577,12 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         lqd = vks[i].log_quotient_degree
         w_q = bb.two_adic_generator_int(log_n + lqd)
         in_shift = (bb.GENERATOR * pow(w_q, chunk_i, P)) % P
-        return ntt.coset_lde(evals, lb, shift=bb.GENERATOR,
-                             in_shift=in_shift)
+        y, coeffs = ntt.coset_lde(evals, lb, shift=bb.GENERATOR,
+                                  in_shift=in_shift, return_coeffs=True)
+        return y, coeffs, in_shift
 
-    q_ldes = [q_lde(a) for a in quotient_chunk_mats]
+    q_triples = [q_lde(a) for a in quotient_chunk_mats]
+    q_ldes = [t[0] for t in q_triples]
     quotient_tree = merkle.commit(q_ldes)
     _mark("quotient")
     challenger.observe_slice(quotient_tree.root)
@@ -536,6 +596,13 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         zeta_next = ef.scale(zeta, bb.full((), g_n))
         return [zeta, zeta_next]
 
+    def prep_coeffs(apk):
+        c = getattr(apk, "_prep_coeffs", None)
+        if c is None:
+            c = ntt.intt(apk.preprocessed_trace)
+            apk._prep_coeffs = c  # memoize across segments
+        return c
+
     rounds = []
     # 1. preprocessed rounds
     for i, (c, vk) in enumerate(zip(ctxs, vks)):
@@ -544,32 +611,67 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
             rounds.append(_Round(
                 tree=apk.preprocessed_tree,
                 mats=[_MatInfo(apk.preprocessed_lde,
-                               log_degrees[i] + lb, trace_points(i))]))
+                               log_degrees[i] + lb, trace_points(i),
+                               coeffs=prep_coeffs(apk))]))
     # 2. cached main rounds
-    for tree, (i, lde) in zip(cached_trees, cached_ldes):
+    for tree, (i, lde), coeffs in zip(cached_trees, cached_ldes,
+                                      cached_coeffs):
         rounds.append(_Round(tree=tree, mats=[
-            _MatInfo(lde, log_degrees[i] + lb, trace_points(i))]))
+            _MatInfo(lde, log_degrees[i] + lb, trace_points(i),
+                     coeffs=coeffs)]))
     # 2b. common main round
     rounds.append(_Round(tree=common_tree, mats=[
-        _MatInfo(common_ldes[i], log_degrees[i] + lb, trace_points(i))
+        _MatInfo(common_ldes[i], log_degrees[i] + lb, trace_points(i),
+                 coeffs=common_coeffs[i])
         for i in common_present]))
     # 3. after-challenge round
     if num_phases:
         rounds.append(_Round(tree=perm_tree, mats=[
-            _MatInfo(perm_ldes[i], log_degrees[i] + lb, trace_points(i))
+            _MatInfo(perm_ldes[i], log_degrees[i] + lb, trace_points(i),
+                     coeffs=perm_coeffs[i])
             for i in perm_order]))
     # 4. quotient round
     rounds.append(_Round(tree=quotient_tree, mats=[
-        _MatInfo(q_ldes[k], log_degrees[i] + lb, [zeta])
+        _MatInfo(q_ldes[k], log_degrees[i] + lb, [zeta],
+                 coeffs=q_triples[k][1], in_shift=q_triples[k][2])
         for k, (i, chunk_i, _) in enumerate(quotient_chunk_mats)]))
 
-    # open every mat at its points (barycentric from committed LDE)
-    for mat in (m for rnd in rounds for m in rnd.mats):
-        mat.opened = []
-        for z in mat.points:
-            vals = _barycentric_open(mat.lde_bitrev, z, mat.log_lde)
-            mat.opened.append(
-                np.asarray(bb.from_monty(vals), dtype=np.uint64))
+    # open every mat at its points: dot against INTT coefficients.
+    # Every needed point factors as zeta * c^i with a base-field c
+    # (zeta*g_h for the "next" row, zeta/in_shift for quotient chunks),
+    # so ONE zeta power series + per-mat geometric multipliers serve all
+    # openings (see _open_dot_jit).  Results stay on device until ONE
+    # batched host transfer.
+    all_mats = [m for rnd in rounds for m in rnd.mats]
+    pad_n = 1 << max(log_degrees)
+    zpows = _ext_pows_jit(zeta, pad_n)
+    geo_cache = {}
+
+    def geo(mult):
+        if mult not in geo_cache:
+            geo_cache[mult] = jnp.asarray(_geo_series(mult, pad_n))
+        return geo_cache[mult]
+
+    opened_dev = []
+    for m in all_mats:
+        n_m, w_m = m.coeffs.shape
+        if m.in_shift == 1:
+            # points = [zeta, zeta * g_n]: u^i = zeta^i * (g_n)^i
+            g_n = bb.two_adic_generator_int(m.log_lde - lb)
+            mults = [1, g_n]
+        else:
+            mults = [pow(m.in_shift, -1, P)] * 2
+        npts = len(m.points)
+        coeffs = m.coeffs
+        wpad = max(1 << max(w_m - 1, 0).bit_length(), 1)
+        if wpad != w_m or pad_n != n_m:
+            coeffs = jnp.pad(coeffs, ((0, pad_n - n_m), (0, wpad - w_m)))
+        geos = jnp.stack([geo(c) for c in mults])
+        r = _open_dot_jit(coeffs, zpows, geos)[:, :w_m]  # (2, W, 4)
+        opened_dev.append([bb.from_monty(r[j]) for j in range(npts)])
+    opened_host = jax.device_get(opened_dev)
+    for mat, vals in zip(all_mats, opened_host):
+        mat.opened = [np.asarray(v, dtype=np.uint64) for v in vals]
 
     # observe all opened values (round/mat/point/column order, 4 felts each)
     for rnd in rounds:
@@ -622,13 +724,20 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
     # one device round-trip per matrix/layer instead of per query
     indices = [challenger.sample_bits(log_max_lde)
                for _ in range(cfg.fri.num_queries)]
-    round_openings = []
+    # one host transfer for the ENTIRE query phase (every round's rows +
+    # paths and every fold level's siblings + paths)
+    round_gathers = []
     for rnd in rounds:
         batch_max = max(m.log_lde for m in rnd.mats)
         reduced = [idx >> (log_max_lde - batch_max) for idx in indices]
-        round_openings.append(merkle.open_rows_batch(rnd.tree, reduced))
-    steps_per_query = fri.answer_queries_batch(indices, trees,
-                                               evals_per_step)
+        round_gathers.append(merkle.gather_rows_device(rnd.tree, reduced))
+    level_gathers = fri.gather_queries_device(indices, trees, evals_per_step)
+    round_gathers, level_gathers = jax.device_get(
+        (round_gathers, level_gathers))
+    nq = len(indices)
+    round_openings = [merkle.format_gathered_rows(g, nq)
+                      for g in round_gathers]
+    steps_per_query = fri.format_gathered_queries(level_gathers, nq)
     query_proofs = []
     for qi, index in enumerate(indices):
         input_proof = []
