@@ -76,3 +76,69 @@ def test_challenger_vectors():
     ch2 = DuplexChallenger()
     ch2.observe_ext((1, 2, 3, 4))
     assert ch2.sample_ext() == (1548460626, 39002199, 1146611958, 137492534)
+
+
+def test_proof_codec_byte_layout():
+    """Pin the proof byte encoding to the reference codec layout.
+
+    Field order, length prefixes, and integer widths follow
+    ``crates/sdk/src/codec.rs`` (reference): u32 LE version header,
+    commitments, FRI proof, opened values (AdjacentOpenedValues with
+    local AND next length-prefixed), per-air data carrying the trace
+    *degree* (not its log), RapPhaseSeqKind byte, logup pow witness.
+    """
+    import hashlib
+
+    from openvm_tpu import fri as fri_mod
+    from openvm_tpu.stark import codec, prover as pv
+
+    def d(s):
+        return np.arange(s, s + 8, dtype=np.uint64)
+
+    def ext(s):
+        return (s, s + 1, s + 2, s + 3)
+
+    adj = pv.AdjacentOpenedValues(local=[ext(10), ext(20)],
+                                  next=[ext(30), ext(40)])
+    proof = pv.Proof(
+        commitments=pv.Commitments(
+            main_trace=[d(100), d(200)], after_challenge=[d(300)],
+            quotient=d(400)),
+        opening=pv.Opening(
+            proof=fri_mod.FriProof(
+                commit_phase_commits=[d(500)],
+                query_proofs=[fri_mod.QueryProof(
+                    input_proof=[fri_mod.BatchOpening(
+                        opened_values=[[1, 2, 3], [4, 5]],
+                        opening_proof=[d(600)])],
+                    commit_phase_openings=[fri_mod.CommitPhaseStep(
+                        sibling_value=ext(50), opening_proof=[d(700)])])],
+                final_poly=[ext(60)], pow_witness=777),
+            values=pv.OpeningValues(
+                preprocessed=[adj], main=[[adj]], after_challenge=[[adj]],
+                quotient=[[[ext(70), ext(80)]]])),
+        per_air=[pv.AirProofData(
+            air_id=0, log_degree=3,
+            exposed_values_after_challenge=[[ext(90)]],
+            public_values=[7, 8])],
+        air_perm_by_height=[0], log_up_pow_witness=999)
+
+    blob = codec.encode_proof(proof)
+    assert len(blob) == 665
+    # header: codec version 1 (codec.rs:27); then 2 main-trace commits
+    assert blob[:8] == bytes.fromhex("0100000002000000")
+    # trailer: RapPhaseSeqKind::FriLogUp byte + pow witness 999 u32 LE
+    assert blob[-5:] == bytes.fromhex("00e7030000")
+    assert hashlib.sha256(blob).hexdigest() == (
+        "ca080bacdcea1da8b75aae72aee556cf11cc57b8382a445a8195d7ca9db0b176")
+
+    proof2 = codec.decode_proof(blob)
+    assert codec.encode_proof(proof2) == blob
+    assert proof2.air_perm_by_height == [0]
+    assert proof2.per_air[0].log_degree == 3
+
+    # malformed inputs fail loudly, never mis-parse
+    with pytest.raises(codec.CodecError):
+        codec.decode_proof(b"\x02\x00\x00\x00" + blob[4:])  # bad version
+    with pytest.raises(codec.CodecError):
+        codec.decode_proof(blob + b"\x00")  # trailing bytes
