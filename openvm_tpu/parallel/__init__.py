@@ -6,6 +6,8 @@ sharded across another ("row") so NTT butterflies / Merkle layers ride XLA
 collectives over ICI.
 """
 
-from .sharding import (make_mesh, sharded_commit, sharded_prove_core)
+from .sharding import (make_mesh, sharded_commit, sharded_prove_core,
+                       trace_sharding)
 
-__all__ = ["make_mesh", "sharded_commit", "sharded_prove_core"]
+__all__ = ["make_mesh", "sharded_commit", "sharded_prove_core",
+           "trace_sharding"]

@@ -37,6 +37,37 @@ def make_mesh(n_devices: int | None = None, seg_axis: int | None = None
     return Mesh(np.array(devs).reshape(seg_axis, row_axis), ("seg", "row"))
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def trace_sharding(mesh: Mesh):
+    """Row-shard every trace matrix entering `stark.prove` over `mesh`.
+
+    Usage::
+
+        with trace_sharding(mesh):
+            proof = vm.prove(exe)          # full VM proof, row-sharded
+
+    Every 2D trace whose height divides the mesh's "row" axis is placed
+    with PartitionSpec("row", None); the prover's downstream device
+    compute (NTT butterflies, Merkle layers, LogUp scans, quotient
+    evaluation, FRI folds) then runs distributed — XLA inserts the
+    collectives (all-to-alls at bit-reversals/reshapes, all-gathers at
+    tree tops, psums at reductions) implied by the data movement.  Proof
+    bytes equal the single-device run (exact modular arithmetic is
+    reduction-order independent); `tests/test_sharding.py` asserts this.
+    """
+    from ..stark import prover as pv
+
+    prev = pv._TRACE_SHARDING
+    pv._TRACE_SHARDING = NamedSharding(mesh, P("row", None))
+    try:
+        yield
+    finally:
+        pv._TRACE_SHARDING = prev
+
+
 def _commit_core(trace: jnp.ndarray, log_blowup: int = 1):
     """LDE + Merkle root for one trace matrix (device core, jittable)."""
     lde = ntt.coset_lde(trace, log_blowup)

@@ -42,3 +42,26 @@ def test_graft_entry_contract():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (8,)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_vm_proof_bytes_equal_single_device():
+    """Full VM proof row-sharded over the mesh == single-device, byte for
+    byte (the collectives change data placement, never values — exact
+    modular arithmetic is reduction-order independent)."""
+    from openvm_tpu.parallel import trace_sharding
+    from openvm_tpu.stark.codec import encode_proof
+    from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
+    from tests.test_vm_prove import (FIB_EXECUTORS, TEST_STARK,
+                                     build_fib_program)
+
+    exe = build_fib_program(12)
+    vm = VirtualMachine(Rv32Config(stark=TEST_STARK,
+                                   executors=FIB_EXECUTORS))
+    vm.keygen()
+    proof_single, _ = vm.prove(exe)
+    mesh = make_mesh(8, seg_axis=1)
+    with trace_sharding(mesh):
+        proof_sharded, _ = vm.prove(exe)
+    vm.verify(proof_sharded)
+    assert encode_proof(proof_sharded) == encode_proof(proof_single)
