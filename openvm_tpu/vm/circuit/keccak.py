@@ -53,12 +53,13 @@ KECCAK_BUS = 7
 RATE_BYTES = 136
 RATE_U16S = RATE_BYTES // 2          # 68
 RATE_WORDS = RATE_BYTES // 4         # 34
+W_WINDOW = RATE_WORDS + 1            # 35: unaligned blocks span one extra word
 NUM_ROUNDS = 24
 U64_LIMBS = 4                        # u16 limbs per lane
 NUM_LANES = 25
 STATE_U16S = NUM_LANES * U64_LIMBS   # 100
 DIGEST_WORDS = 8
-TS_PER_BLOCK = 3 + RATE_WORDS + DIGEST_WORDS  # 45
+TS_PER_BLOCK = 3 + W_WINDOW + DIGEST_WORDS  # 46
 
 ROUND_CONSTANTS = [
     0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
@@ -454,8 +455,17 @@ class KeccakVmAir(Air):
         c.alloc("mem_bytes", RATE_BYTES)
         c.alloc("block_bytes", RATE_BYTES)
         c.alloc("is_pad", RATE_BYTES)
-        c.alloc("pts_w", RATE_WORDS)
-        c.alloc("dlo_w", RATE_WORDS), c.alloc("dhi_w", RATE_WORDS)
+        # unaligned-source window (access-adapter role, SURVEY 2.1:
+        # reference system/memory/adapter/mod.rs reconciles sub-word
+        # access widths with split/merge AIRs; here the consuming chip
+        # reads a WINDOW of RATE_WORDS+1 whole words and selects the
+        # block's bytes at offset src_cur % 4 via one-hot flags —
+        # word-granular memory everywhere, no byte-level bus traffic)
+        c.alloc("off_f", 4)
+        c.alloc("win_bytes", 4 * W_WINDOW)
+        c.alloc("rdw", W_WINDOW)
+        c.alloc("pts_w", W_WINDOW)
+        c.alloc("dlo_w", W_WINDOW), c.alloc("dhi_w", W_WINDOW)
         c.alloc("state_in", STATE_U16S)
         c.alloc("in_hi", RATE_U16S)
         c.alloc("absorbed", RATE_U16S)
@@ -509,9 +519,16 @@ class KeccakVmAir(Air):
         b.assert_zero(vf * (src_cur - u32(srcp)))
         b.assert_zero(vf * (rem - u32(lenp)))
 
-        # src_cur word alignment + decomposition (every valid row)
+        # src_cur word + byte-offset decomposition (every valid row):
+        # src_cur = 4*wa_src + off, off in 0..3 one-hot — unaligned
+        # sources are read through a word window (see rdw below)
+        off_f = _marr(b, c, "off_f", 4)
+        for k in range(4):
+            b.assert_bool(off_f[k])
+        b.assert_zero(v * (1 - sum(off_f)))
+        off = sum(k * off_f[k] for k in range(1, 4))
         wsl, wsh = _m(b, c, "wa_src_lo"), _m(b, c, "wa_src_hi")
-        b.assert_zero(v * (src_cur - 4 * (wsl + (1 << 15) * wsh)))
+        b.assert_zero(v * (src_cur - off - 4 * (wsl + (1 << 15) * wsh)))
         B.range_check(b, wsl, 15, v)
         B.range_check(b, wsh, 12, v)
         wa_src = wsl + (1 << 15) * wsh
@@ -542,13 +559,29 @@ class KeccakVmAir(Air):
         b.assert_zero(v * last * (1 - is_pad[RATE_BYTES - 1]))
         b.assert_zero(v * last * (real - rem))
 
-        # gated absorb word reads at ticks 3..36
-        for w in range(RATE_WORDS):
-            gate = v * (1 - is_pad[4 * w])
-            B.mem_read(b, B.AS_MEMORY, wa_src + w, mem_bytes[4 * w:4 * w + 4],
+        # window word reads at ticks 3..37: word w of the window is read
+        # iff it holds at least one real (non-pad) block byte.  Block byte
+        # j lives at window byte j+off, so word w covers block bytes
+        # [4w-off, 4w+3-off]; padding is a suffix, so "has a real byte" is
+        # 1 - is_pad[max(4w - off, 0)] (clamped; beyond the block: none).
+        win = _marr(b, c, "win_bytes", 4 * W_WINDOW)
+        rdw = _marr(b, c, "rdw", W_WINDOW)
+        for w in range(W_WINDOW):
+            sel = 0
+            for k in range(4):
+                idx = 4 * w - k
+                if idx > RATE_BYTES - 1:
+                    continue  # window byte beyond the block: no real byte
+                sel = sel + off_f[k] * (1 - is_pad[max(idx, 0)])
+            b.assert_zero(rdw[w] - sel)
+            B.mem_read(b, B.AS_MEMORY, wa_src + w, win[4 * w:4 * w + 4],
                        b.main(c.index["pts_w"] + w), ts + 3 + w,
                        b.main(c.index["dlo_w"] + w),
-                       b.main(c.index["dhi_w"] + w), gate)
+                       b.main(c.index["dhi_w"] + w), v * rdw[w])
+        # real block bytes come from the window at offset off
+        for j in range(RATE_BYTES):
+            pick = sum(off_f[k] * win[j + k] for k in range(4))
+            b.assert_zero((1 - is_pad[j]) * (mem_bytes[j] - pick))
 
         # absorb xor: rate limbs, byte-split via bitwise lookups
         state_in = _marr(b, c, "state_in", STATE_U16S)
@@ -615,7 +648,7 @@ class KeccakVmAir(Air):
             B.mem_write(b, B.AS_MEMORY, wa_dst + w, data,
                         prevw[4 * w:4 * w + 4],
                         b.main(c.index["pts_wr"] + w),
-                        ts + 3 + RATE_WORDS + w,
+                        ts + 3 + W_WINDOW + w,
                         b.main(c.index["dlo_wr"] + w),
                         b.main(c.index["dhi_wr"] + w), vl,
                         check_bytes=False)
@@ -657,6 +690,9 @@ class KeccakVmAir(Air):
         t[:n, c.index["rem_hi"]] = rem >> 15
         t[:n, c.index["wa_src_lo"]] = (src_cur // 4) & 0x7FFF
         t[:n, c.index["wa_src_hi"]] = (src_cur // 4) >> 15
+        off = (src_cur & 3).astype(np.int64)
+        for k in range(4):
+            t[:n, c.index["off_f"] + k] = (off == k)
         dst_u32 = np.zeros(n, dtype=np.uint64)
         dstp = np.asarray(rec["dstp"], dtype=np.uint64)
         for i in range(4):
@@ -679,11 +715,17 @@ class KeccakVmAir(Air):
         blockb[:, RATE_BYTES - 1] += 0x80 * is_pad[:, RATE_BYTES - 1]
         t[:n, c.index["block_bytes"]:c.index["block_bytes"] + RATE_BYTES] \
             = blockb
+        win_bytes = np.asarray(rec["win_bytes"], dtype=np.uint64)
+        t[:n, c.index["win_bytes"]:c.index["win_bytes"] + 4 * W_WINDOW] = \
+            win_bytes
         pts_w = np.asarray(rec["pts_w"], dtype=np.uint64)
-        gates = (is_pad[:, 0::4] == 0)
-        for w in range(RATE_WORDS):
+        for w in range(W_WINDOW):
+            # word w read iff its first in-block byte is real
+            idx = np.maximum(4 * w - off, 0)
+            gates = (4 * w - off <= RATE_BYTES - 1) & (idx < pad_start)
+            t[:n, c.index["rdw"] + w] = gates
             t[:n, c.index["pts_w"] + w] = pts_w[:, w]
-            d = np.where(gates[:, w], (ts + 3 + w - pts_w[:, w] - 1) % P, 0)
+            d = np.where(gates, (ts + 3 + w - pts_w[:, w] - 1) % P, 0)
             t[:n, c.index["dlo_w"] + w] = d & 0x7FFF
             t[:n, c.index["dhi_w"] + w] = d >> 15
 
@@ -710,7 +752,7 @@ class KeccakVmAir(Air):
         for w in range(DIGEST_WORDS):
             t[:n, c.index["pts_wr"] + w] = pts_wr[:, w]
             d = np.where(isl != 0,
-                         (ts + 3 + RATE_WORDS + w - pts_wr[:, w] - 1) % P, 0)
+                         (ts + 3 + W_WINDOW + w - pts_wr[:, w] - 1) % P, 0)
             t[:n, c.index["dlo_wr"] + w] = d & 0x7FFF
             t[:n, c.index["dhi_wr"] + w] = d >> 15
         del _ts_diff

@@ -48,10 +48,11 @@ SHA_BUS = 8
 
 BLOCK_BYTES = 64
 BLOCK_WORDS = 16
+W_WINDOW = BLOCK_WORDS + 1  # 17: unaligned blocks span one extra word
 NUM_ROUNDS = 64
 HASH_WORDS = 8
 DIGEST_WORDS = 8
-TS_PER_BLOCK = 3 + BLOCK_WORDS + DIGEST_WORDS  # 27
+TS_PER_BLOCK = 3 + W_WINDOW + DIGEST_WORDS  # 28
 
 K = [
     0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
@@ -533,8 +534,13 @@ class Sha256VmAir(Air):
         c.alloc("block_bytes", BLOCK_BYTES)
         c.alloc("is_pad", BLOCK_BYTES)
         c.alloc("bl", 4)                      # bit-length bytes (BE order)
-        c.alloc("pts_w", BLOCK_WORDS)
-        c.alloc("dlo_w", BLOCK_WORDS), c.alloc("dhi_w", BLOCK_WORDS)
+        # unaligned-source window (same access-adapter role as the keccak
+        # sponge: whole-word reads + one-hot byte-offset selection)
+        c.alloc("off_f", 4)
+        c.alloc("win_bytes", 4 * W_WINDOW)
+        c.alloc("rdw", W_WINDOW)
+        c.alloc("pts_w", W_WINDOW)
+        c.alloc("dlo_w", W_WINDOW), c.alloc("dhi_w", W_WINDOW)
         c.alloc("h0", 2 * HASH_WORDS)
         c.alloc("out", 2 * HASH_WORDS)
         c.alloc("dig_hi", 2 * HASH_WORDS)     # high byte of each out limb
@@ -593,8 +599,13 @@ class Sha256VmAir(Air):
         b.assert_zero(vf * (rem - u32(lenp)))
         b.assert_zero(vf * (total_len - u32(lenp)))
 
+        off_f = _marr(b, c, "off_f", 4)
+        for k in range(4):
+            b.assert_bool(off_f[k])
+        b.assert_zero(v * (1 - sum(off_f)))
+        off = sum(k * off_f[k] for k in range(1, 4))
         wsl, wsh = _m(b, c, "wa_src_lo"), _m(b, c, "wa_src_hi")
-        b.assert_zero(v * (src_cur - 4 * (wsl + (1 << 15) * wsh)))
+        b.assert_zero(v * (src_cur - off - 4 * (wsl + (1 << 15) * wsh)))
         B.range_check(b, wsl, 15, v)
         B.range_check(b, wsh, 12, v)
         wa_src = wsl + (1 << 15) * wsh
@@ -638,13 +649,27 @@ class Sha256VmAir(Air):
         b.assert_zero(full * (BLOCK_BYTES - real))
         b.assert_zero((last + is_c) * (real - rem))
 
-        for w in range(BLOCK_WORDS):
-            gate = v * (1 - is_pad[4 * w])
+        # window word reads: word w is read iff it holds a real byte
+        # (see the keccak sponge for the derivation of the gate)
+        win = _marr(b, c, "win_bytes", 4 * W_WINDOW)
+        rdw = _marr(b, c, "rdw", W_WINDOW)
+        for w in range(W_WINDOW):
+            sel = 0
+            for k in range(4):
+                idx = 4 * w - k
+                if idx > BLOCK_BYTES - 1:
+                    continue
+                sel = sel + off_f[k] * (1 - is_pad[max(idx, 0)])
+            b.assert_zero(rdw[w] - sel)
             B.mem_read(b, B.AS_MEMORY, wa_src + w,
-                       mem_bytes[4 * w:4 * w + 4],
+                       win[4 * w:4 * w + 4],
                        b.main(c.index["pts_w"] + w), ts + 3 + w,
                        b.main(c.index["dlo_w"] + w),
-                       b.main(c.index["dhi_w"] + w), gate)
+                       b.main(c.index["dhi_w"] + w), v * rdw[w])
+        # real block bytes come from the window at offset off
+        for j in range(BLOCK_BYTES):
+            pick = sum(off_f[k] * win[j + k] for k in range(4))
+            b.assert_zero((1 - is_pad[j]) * (mem_bytes[j] - pick))
 
         # state: first block starts from the SHA-256 IV
         h0c = _marr(b, c, "h0", 2 * HASH_WORDS)
@@ -708,7 +733,7 @@ class Sha256VmAir(Air):
             B.mem_write(b, B.AS_MEMORY, wa_dst + w, data,
                         prevw[4 * w:4 * w + 4],
                         b.main(c.index["pts_wr"] + w),
-                        ts + 3 + BLOCK_WORDS + w,
+                        ts + 3 + W_WINDOW + w,
                         b.main(c.index["dlo_wr"] + w),
                         b.main(c.index["dhi_wr"] + w), vl,
                         check_bytes=False)
@@ -749,6 +774,9 @@ class Sha256VmAir(Air):
         t[:n, c.index["rem_hi"]] = rem >> 15
         t[:n, c.index["wa_src_lo"]] = (src_cur // 4) & 0x7FFF
         t[:n, c.index["wa_src_hi"]] = (src_cur // 4) >> 15
+        off = (src_cur & 3).astype(np.int64)
+        for k in range(4):
+            t[:n, c.index["off_f"] + k] = (off == k)
         dstp = np.asarray(rec["dstp"], dtype=np.uint64)
         dst_u32 = sum(dstp[:, i] << np.uint64(8 * i) for i in range(4))
         t[:n, c.index["wa_dst_lo"]] = np.where(isl != 0,
@@ -769,11 +797,16 @@ class Sha256VmAir(Air):
         for k in range(4):
             t[:n, c.index["bl"] + k] = np.where(
                 isl != 0, (8 * tl >> np.uint64(8 * (3 - k))) & 0xFF, 0)
+        win_bytes = np.asarray(rec["win_bytes"], dtype=np.uint64)
+        t[:n, c.index["win_bytes"]:c.index["win_bytes"] + 4 * W_WINDOW] = \
+            win_bytes
         pts_w = np.asarray(rec["pts_w"], dtype=np.uint64)
-        gates = (is_pad[:, 0::4] == 0)
-        for w in range(BLOCK_WORDS):
+        for w in range(W_WINDOW):
+            idx = np.maximum(4 * w - off, 0)
+            gates = (4 * w - off <= BLOCK_BYTES - 1) & (idx < pad_start)
+            t[:n, c.index["rdw"] + w] = gates
             t[:n, c.index["pts_w"] + w] = pts_w[:, w]
-            d = np.where(gates[:, w], (ts + 3 + w - pts_w[:, w] - 1) % P, 0)
+            d = np.where(gates, (ts + 3 + w - pts_w[:, w] - 1) % P, 0)
             t[:n, c.index["dlo_w"] + w] = d & 0x7FFF
             t[:n, c.index["dhi_w"] + w] = d >> 15
         st_in = np.asarray(rec["state_in"], dtype=np.uint64)   # (n, 8)
@@ -792,7 +825,7 @@ class Sha256VmAir(Air):
         for w in range(DIGEST_WORDS):
             t[:n, c.index["pts_wr"] + w] = pts_wr[:, w]
             d = np.where(isl != 0,
-                         (ts + 3 + BLOCK_WORDS + w - pts_wr[:, w] - 1) % P,
+                         (ts + 3 + W_WINDOW + w - pts_wr[:, w] - 1) % P,
                          0)
             t[:n, c.index["dlo_wr"] + w] = d & 0x7FFF
             t[:n, c.index["dhi_wr"] + w] = d >> 15

@@ -1191,8 +1191,8 @@ class PreflightInterpreter:
                 pc, ts = pc + 4, ts + 32
 
             elif op == Rv32KeccakOpcode.KECCAK256:
-                from .circuit.keccak import (RATE_BYTES, RATE_WORDS,
-                                             TS_PER_BLOCK, keccak_f)
+                from .circuit.keccak import (RATE_BYTES, TS_PER_BLOCK,
+                                             W_WINDOW, keccak_f)
                 r = recs["keccak_sponge"]
                 rf = recs["keccakf"]
                 a_idx, b_idx, c_idx = a // 4, b // 4, c // 4
@@ -1202,13 +1202,14 @@ class PreflightInterpreter:
                 dst = _from_limbs(dstp)
                 src = _from_limbs(srcp)
                 ln = _from_limbs(lenp)
-                if src % 4 or dst % 4:
+                if dst % 4:
                     raise ExecutionError(
-                        f"unaligned keccak256 pointer src={src:#x} "
-                        f"dst={dst:#x} at pc {pc:#x}")
+                        f"unaligned keccak256 digest pointer dst={dst:#x} "
+                        f"at pc {pc:#x}")
                 if src + ln >= (1 << 29) or dst + 32 >= (1 << 29):
                     raise ExecutionError(
                         f"keccak256 range out of bounds at pc {pc:#x}")
+                off = src % 4  # sources may be byte-aligned (word window)
                 nblocks = ln // RATE_BYTES + 1
                 lanes = [0] * 25
                 for bi in range(nblocks):
@@ -1219,13 +1220,16 @@ class PreflightInterpreter:
                     real = min(rem, RATE_BYTES)
                     pad_start = real if is_last else RATE_BYTES
                     src_cur = src + RATE_BYTES * bi
-                    mem_bytes = [0] * RATE_BYTES
-                    pts_w = [0] * RATE_WORDS
-                    for w in range((real + 3) // 4):
+                    win_bytes = [0] * (4 * W_WINDOW)
+                    pts_w = [0] * W_WINDOW
+                    nw = (off + real + 3) // 4 if real else 0
+                    for w in range(nw):
                         data_w, pw = mem.read(2, src_cur // 4 + w,
                                               ts_b + 3 + w)
-                        mem_bytes[4 * w:4 * w + 4] = data_w
+                        win_bytes[4 * w:4 * w + 4] = data_w
                         pts_w[w] = pw
+                    mem_bytes = [win_bytes[off + j] if j < real else 0
+                                 for j in range(RATE_BYTES)]
                     block = bytearray(mem_bytes[:real])
                     block += bytearray(RATE_BYTES - real)
                     if is_last:
@@ -1245,7 +1249,7 @@ class PreflightInterpreter:
                         for w in range(8):
                             word = list(digest[4 * w:4 * w + 4])
                             pv_, pz = mem.write(2, dst // 4 + w, word,
-                                                ts_b + 3 + RATE_WORDS + w)
+                                                ts_b + 3 + W_WINDOW + w)
                             prevw[w], pts_wr[w] = pv_, pz
                     _append(r, pc=pc, ts=ts_b, is_first=is_first,
                             is_last=is_last, a_idx=a_idx, b_idx=b_idx,
@@ -1253,8 +1257,12 @@ class PreflightInterpreter:
                             pts_regs=[p_rd, p_rs, p_rl]
                             if is_first else [0, 0, 0],
                             src_cur=src_cur, rem=rem, mem_bytes=mem_bytes,
+                            win_bytes=win_bytes,
                             pad_start=pad_start, pts_w=pts_w,
-                            state_in=state_in, state_out=lanes,
+                            # copy: the next block's in-place absorb
+                            # (`lanes[i] ^= ...`) must not mutate this
+                            # row's recorded output through the reference
+                            state_in=state_in, state_out=list(lanes),
                             prevw=prevw, pts_wr=pts_wr)
                     _append(rf, state_in=absorbed)
                 pc, ts = pc + 4, ts + TS_PER_BLOCK * nblocks
@@ -1273,13 +1281,15 @@ class PreflightInterpreter:
                 dst = _from_limbs(dstp)
                 src = _from_limbs(srcp)
                 ln = _from_limbs(lenp)
-                if src % 4 or dst % 4:
+                if dst % 4:
                     raise ExecutionError(
-                        f"unaligned sha256 pointer src={src:#x} "
-                        f"dst={dst:#x} at pc {pc:#x}")
+                        f"unaligned sha256 digest pointer dst={dst:#x} "
+                        f"at pc {pc:#x}")
                 if src + ln >= (1 << 29) or dst + 32 >= (1 << 29):
                     raise ExecutionError(
                         f"sha256 range out of bounds at pc {pc:#x}")
+                from .circuit.sha256 import W_WINDOW as SWW
+                s_off = src % 4  # sources may be byte-aligned (word window)
                 nblocks = (ln + 9 + SB - 1) // SB
                 state = list(H0)
                 pad80_done = False
@@ -1292,13 +1302,16 @@ class PreflightInterpreter:
                     is_c = int(not is_last and 56 <= rem <= 63)
                     p80 = int(pad80_done and is_last)
                     src_cur = src + SB * bi
-                    mem_bytes = [0] * SB
-                    pts_w = [0] * SW
-                    for w in range((real + 3) // 4):
+                    win_bytes = [0] * (4 * SWW)
+                    pts_w = [0] * SWW
+                    nw = (s_off + real + 3) // 4 if real else 0
+                    for w in range(nw):
                         data_w, pw = mem.read(2, src_cur // 4 + w,
                                               ts_b + 3 + w)
-                        mem_bytes[4 * w:4 * w + 4] = data_w
+                        win_bytes[4 * w:4 * w + 4] = data_w
                         pts_w[w] = pw
+                    mem_bytes = [win_bytes[s_off + j] if j < real else 0
+                                 for j in range(SB)]
                     block = bytearray(mem_bytes[:real])
                     block += bytearray(SB - real)
                     if real < SB and not pad80_done:
@@ -1318,7 +1331,7 @@ class PreflightInterpreter:
                         for w in range(8):
                             word = list(digest[4 * w:4 * w + 4])
                             pv_, pz = mem.write(2, dst // 4 + w, word,
-                                                ts_b + 3 + SW + w)
+                                                ts_b + 3 + SWW + w)
                             prevw[w], pts_wr[w] = pv_, pz
                     _append(r, pc=pc, ts=ts_b, is_first=is_first,
                             is_last=is_last, is_c=is_c, pad80prev=p80,
@@ -1327,10 +1340,11 @@ class PreflightInterpreter:
                             pts_regs=[p_rd, p_rs, p_rl]
                             if is_first else [0, 0, 0],
                             src_cur=src_cur, rem=rem, total_len=ln,
-                            mem_bytes=mem_bytes,
+                            mem_bytes=mem_bytes, win_bytes=win_bytes,
                             block_bytes=list(block), pad_start=real,
                             pts_w=pts_w, state_in=state_in,
-                            state_out=state, prevw=prevw, pts_wr=pts_wr)
+                            state_out=list(state), prevw=prevw,
+                            pts_wr=pts_wr)
                     _append(rf, state=state_in, words=words)
                 pc, ts = pc + 4, ts + STS * nblocks
 

@@ -105,11 +105,63 @@ def test_keccak_preflight_records():
     assert pre.public_values[0:4] == list(digest[0:4])
 
 
-def test_keccak_unaligned_pointer_rejected():
-    exe = build_keccak_program(8)
+def build_unaligned_keccak_program(n_bytes, src_off):
+    """Hash n_bytes starting at the BYTE-aligned address SRC+src_off."""
+    pad = src_off + n_bytes
+    words = [(0 << 20) | (0b011 << 12) | 0x0B]          # phantom hint_input
+    words += [asm_i(0x13, 1, 0, SRC - 4, 0), hint_storew(1)]  # len header
+    for k in range(0, pad, 4):
+        words += [asm_i(0x13, 1, 0, SRC + k, 0), hint_storew(1)]
+    words += [
+        asm_i(0x13, 5, 0, DST, 0),              # x5 = dst
+        asm_i(0x13, 6, 0, SRC + src_off, 0),    # x6 = src (unaligned)
+        asm_i(0x13, 7, 0, n_bytes, 0),          # x7 = len
+        keccak_r(5, 6, 7),
+        asm_i(0x03, 8, 5, 0, 2),
+        reveal(8, 0, 0),
+        TERMINATE,
+    ]
+    prog = Program(instructions=Transpiler().transpile(words), pc_base=0)
+    return VmExe(program=prog, pc_start=0)
+
+
+def test_keccak_unaligned_source_proves():
+    """A guest hashing a byte-aligned (unaligned) buffer executes AND
+    proves: the sponge chip reads a word window and selects at the byte
+    offset in-circuit (access-adapter role; was a hard rejection)."""
+    src_off = 3
+    data = bytes((5 * i + 11) & 0xFF for i in range(150))  # 2 blocks
+    exe = build_unaligned_keccak_program(len(data), src_off)
+    inputs = _inputs(bytes(src_off) + data)
+    st = Interpreter(exe).execute(inputs=inputs)
+    assert st.exit_code == 0
+    digest = keccak256(data)
+    assert bytes(st.memory[DST:DST + 32]) == digest
+    assert st.regs[8] == int.from_bytes(digest[0:4], "little")
+
+    vm = VirtualMachine(Rv32Config(stark=TEST_STARK, keccak=True,
+                                   executors=("alu", "loadstore",
+                                              "hintstore")))
+    vm.keygen()
+
+    import openvm_tpu.vm.machine as M
+    orig = M.stark_prove
+    if not os.environ.get("OPENVM_SLOW"):
+        M.stark_prove = lambda pk, ctxs: (_ for _ in ()).throw(SystemExit(0))
+    try:
+        proof, pre = vm.prove(exe, inputs=inputs, debug=True, native=False)
+    except SystemExit:
+        return
+    finally:
+        M.stark_prove = orig
+    vm.verify(proof)
+    assert pre.public_values[0:4] == list(digest[0:4])
+
+
+def test_keccak_unaligned_digest_pointer_rejected():
     words = [
-        asm_i(0x13, 5, 0, DST, 0),
-        asm_i(0x13, 6, 0, SRC + 2, 0),  # unaligned src
+        asm_i(0x13, 5, 0, DST + 2, 0),  # unaligned dst
+        asm_i(0x13, 6, 0, SRC, 0),
         asm_i(0x13, 7, 0, 8, 0),
         keccak_r(5, 6, 7),
         TERMINATE,

@@ -139,3 +139,52 @@ def test_sha256_debug_constraints_extra_pad_block():
         return
     finally:
         M.stark_prove = orig
+
+
+def test_sha256_unaligned_source_proves():
+    """Byte-aligned source buffers execute AND pass all constraints: the
+    sponge reads a word window and selects at the byte offset in-circuit
+    (access-adapter role; was a hard rejection)."""
+    from openvm_tpu.vm.circuit.sha256 import sha256
+
+    src_off = 1
+    data = bytes((3 * i + 7) & 0xFF for i in range(130))  # 3 blocks
+    pad = src_off + len(data)
+    words = [(0 << 20) | (0b011 << 12) | 0x0B]
+    words += [asm_i(0x13, 1, 0, SRC - 4, 0), hint_storew(1)]
+    for k in range(0, pad, 4):
+        words += [asm_i(0x13, 1, 0, SRC + k, 0), hint_storew(1)]
+    words += [
+        asm_i(0x13, 5, 0, DST, 0),
+        asm_i(0x13, 6, 0, SRC + src_off, 0),
+        asm_i(0x13, 7, 0, len(data), 0),
+        sha_r(5, 6, 7),
+        asm_i(0x03, 8, 5, 0, 2),
+        reveal(8, 0, 0),
+        TERMINATE,
+    ]
+    prog = Program(instructions=Transpiler().transpile(words), pc_base=0)
+    exe = VmExe(program=prog, pc_start=0)
+    inputs = _inputs(bytes(src_off) + data)
+    st = Interpreter(exe).execute(inputs=inputs)
+    assert st.exit_code == 0
+    digest = sha256(data)
+    assert bytes(st.memory[DST:DST + 32]) == digest
+
+    vm = VirtualMachine(Rv32Config(stark=TEST_STARK, sha256=True,
+                                   executors=("alu", "loadstore",
+                                              "hintstore")))
+    vm.keygen()
+
+    import openvm_tpu.vm.machine as M
+    orig = M.stark_prove
+    if not os.environ.get("OPENVM_SLOW"):
+        M.stark_prove = lambda pk, ctxs: (_ for _ in ()).throw(SystemExit(0))
+    try:
+        proof, pre = vm.prove(exe, inputs=inputs, debug=True, native=False)
+    except SystemExit:
+        return
+    finally:
+        M.stark_prove = orig
+    vm.verify(proof)
+    assert pre.public_values[0:4] == list(digest[0:4])
