@@ -29,6 +29,7 @@ PROGRAM_BUS = 1
 MEMORY_BUS = 2
 RANGE_BUS = 3
 BITWISE_BUS = 4
+RANGE_TUPLE_BUS = 10  # (x, y) pair range lookups (reference range_tuple)
 
 INITIAL_TIMESTAMP = 1  # boundary initial states carry timestamp 0
 
@@ -76,6 +77,13 @@ def range_check(b, value, bits, count):
 
 def byte_pair_check(b, x, y, count):
     b.push_send(BITWISE_BUS, [x, y, 0, 0], count)
+
+
+def range_tuple_check(b, x, y, count):
+    """(x, y) < RangeTupleCheckerAir.sizes in ONE interaction (reference
+    crates/circuits/primitives/src/range_tuple: one lookup instead of two
+    VariableRangeChecker interactions when the product of sizes is small)."""
+    b.push_send(RANGE_TUPLE_BUS, [x, y], count)
 
 
 def xor_lookup(b, x, y, z, count):

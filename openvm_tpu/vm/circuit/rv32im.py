@@ -1296,9 +1296,10 @@ class MulAir(Air):
                 acc = acc + carry[k - 1]
             p_k = lo[k] if k < 4 else hi[k - 4]
             b.assert_zero(acc - p_k - 256 * carry[k])
-            B.range_check(b, carry[k], 14, v)
-        for k in range(4):
-            B.byte_pair_check(b, lo[k], hi[k], v)
+            # ONE tuple lookup bounds the product limb (< 256) AND its
+            # carry (< 2048; worst case 2039 at k=7) together — reference
+            # mulh/core.rs:117-140 via the RangeTupleChecker periphery
+            B.range_tuple_check(b, p_k, carry[k], v)
 
         B.mem_read(b, B.AS_REGISTER, ob, x, _m(b, c, "p_ts1"), ts,
                    _m(b, c, "dlo1"), _m(b, c, "dhi1"), v)

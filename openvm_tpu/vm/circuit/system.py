@@ -238,6 +238,33 @@ class RangeCheckerAir(Air):
         b.push_receive(B.RANGE_BUS, [value, bits], mult)
 
 
+class RangeTupleCheckerAir(Air):
+    """Tuple range lookup table (reference crates/circuits/primitives/src/
+    range_tuple/mod.rs): preprocessed rows enumerate every (x, y) with
+    x < sizes[0], y < sizes[1] (row-major); receives (x, y) with
+    multiplicity on RANGE_TUPLE_BUS.  One interaction checks both bounds —
+    used by the mul chips for (product limb, carry) pairs
+    (reference extensions/rv32im/circuit/src/mulh/core.rs:117-140)."""
+
+    name = "range_tuple"
+    width = 1  # multiplicity
+
+    def __init__(self, sizes=(256, 2048)):
+        self.sizes = tuple(int(s) for s in sizes)
+        assert all(s & (s - 1) == 0 for s in self.sizes)
+
+    def preprocessed_trace(self):
+        sx, sy = self.sizes
+        x = np.repeat(np.arange(sx, dtype=np.uint64), sy)
+        y = np.tile(np.arange(sy, dtype=np.uint64), sx)
+        return np.stack([x, y], axis=1)
+
+    def eval(self, b):
+        x, y = b.preprocessed(0), b.preprocessed(1)
+        mult = b.main(0)
+        b.push_receive(B.RANGE_TUPLE_BUS, [x, y], mult)
+
+
 class BitwiseLookupAir(Air):
     """Byte pair table: preprocessed (x, y, x^y); receives range pairs
     (count mult_range) and xor triples (count mult_xor)."""

@@ -174,6 +174,11 @@ class VirtualMachine:
             executors += tuple(n for n in SHA256_EXECUTORS
                                if n not in executors)
         self.airs = system + [_EXECUTOR_AIRS[name]() for name in executors]
+        if "mul" in executors:
+            # mul chips check (product limb, carry) pairs via the tuple
+            # table (reference Rv32M periphery, extension/mod.rs:484-487)
+            from .circuit.system import RangeTupleCheckerAir
+            self.airs.append(RangeTupleCheckerAir())
         if self.config.moduli:
             from .circuit.modular import modular_airs
             self.airs += list(modular_airs(self.config.moduli).values())
@@ -517,10 +522,12 @@ class VirtualMachine:
             return heights, pre
 
         # lookup multiplicities from the interaction DAGs (generic)
-        range_mult, bitwise_mult = self._lookup_multiplicities(traces,
-                                                              program_cached)
+        range_mult, bitwise_mult, tuple_mult = self._lookup_multiplicities(
+            traces, program_cached)
         traces["range_checker"] = range_mult
         traces["bitwise_lookup"] = bitwise_mult
+        if "range_tuple" in self.air_index:
+            traces["range_tuple"] = tuple_mult
 
         return self._assemble_and_prove(traces, pre, exe, program_cached,
                                         merkle_pvs, debug, state)
@@ -564,13 +571,20 @@ class VirtualMachine:
         range_h = len(range_air.preprocessed_trace())
         range_mult = np.zeros(range_h, dtype=np.uint64)
         bitwise_mult = np.zeros((1 << 16, 2), dtype=np.uint64)
+        tuple_air = None
+        tuple_mult = None
+        if "range_tuple" in self.air_index:
+            tuple_air = self.airs[self.air_index["range_tuple"]]
+            tuple_mult = np.zeros(tuple_air.sizes[0] * tuple_air.sizes[1],
+                                  dtype=np.uint64)
 
         for i, air in enumerate(self.airs):
             vk = self.pk.vk.per_air[i]
             dag = vk.dag
             sends = [(bus, frs, cr) for (bus, frs, cr, is_send)
                      in dag.interactions
-                     if is_send and bus in (B.RANGE_BUS, B.BITWISE_BUS)]
+                     if is_send and bus in (B.RANGE_BUS, B.BITWISE_BUS,
+                                            B.RANGE_TUPLE_BUS)]
             if not sends:
                 continue
             trace = traces[air.name]
@@ -623,13 +637,18 @@ class VirtualMachine:
                                     (1 << bits.astype(np.int64)) - 1
                                     + value.astype(np.int64))
                     np.add.at(range_mult, idxs, counts[nz])
+                elif bus == B.RANGE_TUPLE_BUS:
+                    x, y = fields[0][nz], fields[1][nz]
+                    idxs = (x * tuple_air.sizes[1] + y).astype(np.int64)
+                    np.add.at(tuple_mult, idxs, counts[nz])
                 else:
                     x, y = fields[0][nz], fields[1][nz]
                     is_xor = fields[3][nz]
                     idxs = (x * 256 + y).astype(np.int64)
                     np.add.at(bitwise_mult, (idxs, is_xor.astype(np.int64)),
                               counts[nz])
-        return range_mult[:, None], bitwise_mult
+        return (range_mult[:, None], bitwise_mult,
+                None if tuple_mult is None else tuple_mult[:, None])
 
     # -- continuations ---------------------------------------------------
     def _segment_sweep(self, exe, inputs, max_insns_per_segment,
