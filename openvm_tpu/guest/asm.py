@@ -258,6 +258,14 @@ class Assembler:
     def hint_random(self, rd):
         self.word(_enc_i(OP_CUSTOM0, 0b011, rd, 0, 0x2))
 
+    def ct_start(self, span_id: int = 0):
+        """Cycle-tracker span start (reference cycle tracker role;
+        span_id labels the region in `cycles` metrics)."""
+        self.word(_enc_i(OP_CUSTOM0, 0b011, span_id, 0, 0x10))
+
+    def ct_end(self):
+        self.word(_enc_i(OP_CUSTOM0, 0b011, 0, 0, 0x11))
+
     def hint_storew(self, rd_ptr):
         """Store next 4 hint bytes to [rd_ptr] (HINT_STOREW)."""
         self.word(_enc_i(OP_CUSTOM0, 0b001, rd_ptr, 0, 0))

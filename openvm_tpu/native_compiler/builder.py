@@ -391,6 +391,17 @@ class Builder:
     def print_felt(self, x: Felt):
         self.emit(phantom(NativePhantom.PRINT, a=x.addr, c_upper=4))
 
+    def ct_start(self, span_id: int = 0):
+        """Cycle-tracker span start (reference SysPhantom::CtStart,
+        crates/vm/src/metrics/cycle_tracker): instret-cost attribution for
+        program regions, surfaced as `cycles{cycle_tracker_span=...}`."""
+        from ..vm.instructions import SysPhantom
+        self.emit(phantom(SysPhantom.CT_START, c_upper=span_id))
+
+    def ct_end(self):
+        from ..vm.instructions import SysPhantom
+        self.emit(phantom(SysPhantom.CT_END))
+
     # -- finalize --------------------------------------------------------
     def compile(self, pc_base: int = 0) -> VmExe:
         """Patch label fix-ups, append the fail block, return a VmExe."""

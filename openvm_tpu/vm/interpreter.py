@@ -73,6 +73,7 @@ class VmState:
     native: dict = None  # address space 4 (field elements)
     streams: Streams = None
     exit_code: int | None = None
+    ct_stack: list = field(default_factory=list)  # cycle tracker spans
 
     @staticmethod
     def new(mem_size: int = 1 << 25) -> "VmState":
@@ -695,7 +696,23 @@ class Interpreter:
                         raise ExecutionError(f"hint key not found: {key!r}")
                     for inp in reversed(st.streams.kv_store[key]):
                         st.streams.input_stream.insert(0, list(inp))
-                # SysPhantom (NOP/CtStart/CtEnd) fall through
+                elif disc == SysPhantom.CT_START:
+                    # cycle tracker span start (reference
+                    # metrics/cycle_tracker/mod.rs; names are span ids —
+                    # operand c picks the label when the guest provides
+                    # one, else the pc identifies the span)
+                    # +1: the span covers instructions BETWEEN the two
+                    # markers, not the CT_START phantom itself
+                    st.ct_stack.append((c_upper or st.pc, st.instret + 1))
+                elif disc == SysPhantom.CT_END:
+                    if st.ct_stack:
+                        name, start = st.ct_stack.pop()
+                        from .. import metrics
+                        metrics.counter(
+                            "cycles", st.instret - start,
+                            cycle_tracker_span=f"ct_{name:#x}"
+                            if isinstance(name, int) else str(name))
+                # SysPhantom NOP falls through
                 st.pc = (st.pc + 4) & M32
             return h
 

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .. import metrics
 from ..field import babybear as bb
 from ..stark import (AirProvingContext, StarkConfig, keygen as stark_keygen,
                      prove as stark_prove, verify as stark_verify)
@@ -534,6 +535,15 @@ class VirtualMachine:
 
     def _assemble_and_prove(self, traces, pre, exe, program_cached,
                             merkle_pvs, debug, state=None):
+        # per-AIR trace attribution (reference perf-metrics `rows_used` +
+        # main_cells_used counters, arch/vm.rs:1376-1398)
+        main_cells = 0
+        for air in self.airs:
+            t = traces[air.name]
+            rows = int(len(t))
+            metrics.gauge("rows_used", rows, air=air.name)
+            main_cells += rows * air.width
+        metrics.gauge("main_cells_used", main_cells)
 
         ctxs = []
         for i, air in enumerate(self.airs):

@@ -22,8 +22,8 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            Rv32KeccakOpcode, Rv32LoadStoreOpcode,
                            Rv32Sha256Opcode,
                            Rv32Phantom, Shift256Opcode,
-                           ShiftOpcode, SystemOpcode, VmExe, nop, phantom,
-                           unimp)
+                           ShiftOpcode, SysPhantom, SystemOpcode, VmExe,
+                           nop, phantom, unimp)
 
 # RISC-V base opcodes
 OP_LUI = 0b0110111
@@ -168,6 +168,10 @@ class Rv32ITranspilerExtension:
                 if imm == 0x3:  # HintLoadByKey
                     return one(phantom(Rv32Phantom.HINT_LOAD_BY_KEY,
                                        a=4 * d.rd, b=4 * d.rs1))
+                if imm == 0x10:  # CtStart (cycle tracker; rd = span id)
+                    return one(phantom(SysPhantom.CT_START, c_upper=d.rd))
+                if imm == 0x11:  # CtEnd
+                    return one(phantom(SysPhantom.CT_END))
                 return None
             return None
         if opcode == OP_ALU:

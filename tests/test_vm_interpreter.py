@@ -104,3 +104,32 @@ def test_real_fibonacci_recursive_guest():
     assert st.exit_code == 0
     pv = bytes(st.public_values.get(i, 0) for i in range(4))
     assert int.from_bytes(pv, "little") == 196418  # fib(27)
+
+
+def test_cycle_tracker_spans():
+    """CT_START/CT_END phantoms attribute instret spans to metrics
+    (reference crates/vm/src/metrics/cycle_tracker role)."""
+    from openvm_tpu import metrics
+    from tests.test_vm_prove import TERMINATE, asm_i
+
+    def ct(imm, rd=0):
+        return ((imm & 0xFFF) << 20) | (rd << 7) | (0b011 << 12) | 0x0B
+
+    words = [
+        ct(0x10, rd=7),            # ct_start span 7
+        asm_i(0x13, 5, 0, 1, 0),   # addi x5, x0, 1
+        asm_i(0x13, 5, 5, 1, 0),   # addi x5, x5, 1
+        asm_i(0x13, 5, 5, 1, 0),
+        ct(0x11),                  # ct_end
+        TERMINATE,
+    ]
+    prog = Program(instructions=Transpiler().transpile(words), pc_base=0)
+    exe = VmExe(program=prog, pc_start=0)
+    metrics.reset()
+    st = Interpreter(exe).execute()
+    assert st.exit_code == 0
+    snap = metrics.snapshot()
+    spans = [e for e in snap.get("cycles", [])
+             if e.get("cycle_tracker_span") == "ct_0x7"]
+    assert len(spans) == 1
+    assert spans[0]["value"] == 3  # the three ADDIs inside the span
