@@ -524,7 +524,10 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         # jax's in-process jit cache and pays a persistent-cache
         # READ+deserialize (~2s/executable, ~100s/prove in profiling) each
         # time.  Key on the vk object identity + arg shapes.
-        key = (id(vk), log_q,
+        # _TRACE_SHARDING in the key: AOT-compiled executables pin their
+        # input shardings, so mesh-sharded proves (parallel.trace_sharding)
+        # need their own compilations
+        key = (id(vk), log_q, repr(_TRACE_SHARDING),
                tuple(leaf.shape for leaf in jax.tree_util.tree_leaves(args)
                      if hasattr(leaf, "shape")))
         cached_exec = _QUOTIENT_EXEC_CACHE.get(key)
