@@ -104,16 +104,17 @@ def run_vm_prove(n_iters: int) -> dict:
             "cells": cells, "cells_per_s": cells / t_prove}
 
 
-def run_real_elf_prove(n_loop: int) -> dict:
+def run_real_elf_prove(n_loop: int, emit_partial=None) -> dict:
     """Full proof of the reference's real fibonacci guest ELF
     (benchmarks/guest/fibonacci: reads u64 n from the hint stream, loops,
     reveals fib(n) mod 2^64).  Returns timing breakdown.
 
-    Budget discipline (round-2 postmortem: BENCH_r02 timed out, rc 124):
-    exactly ONE measured prove.  A steady-state re-measure happens only if
-    the first prove (which may include one-time XLA compiles) finished
-    within BENCH_BUDGET_S/3 — so a cold persistent cache still reports a
-    number instead of timing out.
+    Budget discipline (round-2 AND round-4 postmortems: BENCH_r02/r04 both
+    timed out with rc 124 and recorded nothing): the partial result is
+    emitted via `emit_partial` IMMEDIATELY after the cold prove, so a
+    driver timeout during the warm re-measure still records a number; and
+    the warm re-measure runs only when the cold prove (which pays every
+    one-time XLA compile) fits within BENCH_BUDGET_S/3.
     """
     from openvm_tpu.vm.elf import load_elf
     from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
@@ -122,29 +123,36 @@ def run_real_elf_prove(n_loop: int) -> dict:
     exe = transpile_elf(load_elf(open(REAL_FIB_ELF, "rb").read()))
     inputs = [list(int(n_loop).to_bytes(8, "little"))]
     vm = VirtualMachine(Rv32Config(executors=REAL_ELF_EXECUTORS))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     t0 = time.time()
     vm.keygen()
     t_keygen = time.time() - t0
     t0 = time.time()
     proof, pre = vm.prove(exe, inputs=inputs)
     t_cold = time.time() - t0
-    # steady-state measurement: the cold prove above paid every one-time
-    # XLA compile (in-process + persistent cache); the warm prove is the
-    # per-proof figure of merit (the reference's kernels are AOT-compiled
-    # Rust/CUDA — its per-proof time contains no JIT either).  With the
-    # compiles cached the warm prove costs seconds, so it always fits.
-    t0 = time.time()
-    proof, pre = vm.prove(exe, inputs=inputs)
-    t_prove = time.time() - t0
-    vm.verify(proof)
     cells = sum((1 << p.log_degree)
                 * (vm.airs[p.air_id].width
                    + sum(vm.airs[p.air_id].cached_main_widths))
                 for p in proof.per_air)
-    return {"insns": pre.instret, "prove_s": t_prove, "cold_prove_s": t_cold,
-            "keygen_s": t_keygen,
-            "insn_per_s": pre.instret / t_prove,
-            "cells": cells, "cells_per_s": cells / t_prove}
+    res = {"insns": pre.instret, "prove_s": t_cold, "cold_prove_s": t_cold,
+           "keygen_s": t_keygen,
+           "insn_per_s": pre.instret / t_cold,
+           "cells": cells, "cells_per_s": cells / t_cold}
+    if emit_partial is not None:
+        emit_partial(res)
+    if t_cold < budget_s / 3:
+        # steady-state measurement: the cold prove above paid every
+        # one-time XLA compile (in-process + persistent cache); the warm
+        # prove is the per-proof figure of merit (the reference's kernels
+        # are AOT-compiled Rust/CUDA — its per-proof time has no JIT
+        # either).
+        t0 = time.time()
+        proof, pre = vm.prove(exe, inputs=inputs)
+        t_prove = time.time() - t0
+        res.update(prove_s=t_prove, insn_per_s=pre.instret / t_prove,
+                   cells_per_s=cells / t_prove)
+    vm.verify(proof)
+    return res
 
 
 def run_keccak_elf_prove() -> dict:
@@ -273,11 +281,20 @@ def main():
         res = run_vm_prove(VM_N)
         cpu_rate = _cpu_sub_rate("vm_prove_cpu")
         metric = "vm_full_proof_throughput"
+        _emit_line(metric, res, cpu_rate)
     else:  # vm_prove on the real guest ELF
-        res = run_real_elf_prove(FIB_N)
+        # cpu_rate first (a file read of the committed pin) so the partial
+        # emit right after the cold prove already carries vs_baseline
         cpu_rate = _cpu_sub_rate("real_elf_cpu")
         metric = "real_elf_full_proof_throughput"
-    print(json.dumps({
+        res = run_real_elf_prove(
+            FIB_N, emit_partial=lambda r: _emit_line(metric, r, cpu_rate,
+                                                     partial=True))
+        _emit_line(metric, res, cpu_rate)
+
+
+def _emit_line(metric, res, cpu_rate, partial=False):
+    line = {
         "metric": metric,
         "value": round(res["insn_per_s"], 1),
         "unit": "insn/s",
@@ -286,7 +303,10 @@ def main():
         "insns": res["insns"],
         "proof_time_s": round(res["prove_s"], 2),
         "cold_prove_s": round(res.get("cold_prove_s", res["prove_s"]), 2),
-        "trace_cells_per_s": round(res["cells_per_s"], 1)}))
+        "trace_cells_per_s": round(res["cells_per_s"], 1)}
+    if partial:
+        line["partial"] = True
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

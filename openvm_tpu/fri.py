@@ -203,6 +203,13 @@ def verify_queries_host(config, commit_phase_commits, indices,
     """
     from .stark import npext as nx
     q = len(indices)
+    # malformed-proof guard: every query must carry exactly one
+    # commit-phase step per fold level; a truncated or padded proof
+    # otherwise turns into an IndexError/ValueError deep in the numpy
+    # paths instead of a clean rejection
+    if any(len(steps_per_query[k]) != len(commit_phase_commits)
+           for k in range(q)):
+        return np.zeros(q, dtype=bool)
     idx_arr = np.asarray(indices, dtype=np.int64)
     folded = np.asarray(reduced_openings[log_max_lde], dtype=np.uint64) % bb.P
     ok = np.ones(q, dtype=bool)

@@ -29,6 +29,74 @@ class AppProvingKey:
     exe: VmExe = None
 
 
+_BABYBEAR_P = 2013265921
+
+
+def _digest_to_bn254_bytes(digest) -> bytes:
+    """BabyBear 8-digest -> 32 big-endian bytes of the Bn254Fr element
+    sum_i digest[i] * P^i (reference babybear_digest_to_bn254 +
+    bn254_to_bytes, crates/sdk/src/commit.rs:137-159).  P^8 = 2^248 <
+    Bn254Fr order, so no modular reduction occurs."""
+    acc = 0
+    for i, d in enumerate(digest):
+        acc += int(d) * _BABYBEAR_P ** i
+    return acc.to_bytes(32, "big")
+
+
+def _bn254_bytes_to_digest(data: bytes) -> list:
+    """Inverse: 32 big-endian bytes -> base-P digits, low digit first
+    (reference bytes_to_u32_digest, commit.rs:161-178)."""
+    acc = int.from_bytes(data, "big")
+    out = []
+    for _ in range(8):
+        out.append(acc % _BABYBEAR_P)
+        acc //= _BABYBEAR_P
+    return out
+
+
+@dataclass
+class AppExecutionCommit:
+    """The two 32-byte Bn254-compatible commitments a user checks against
+    the final (EVM-facing) proof (reference AppExecutionCommit,
+    crates/sdk/src/commit.rs:70-124):
+
+      app_exe_commit = compress(compress(hash(app_program_commit),
+                                         hash(init_memory_root)),
+                                hash([pc_start, 0*7]))
+      app_vm_commit  = the leaf verifier program commitment (it pins the
+                       app VM config)
+
+    each mapped to bytes as the Bn254Fr number sum_i digest[i] * P^i."""
+
+    app_exe_commit: bytes  # 32 big-endian bytes
+    app_vm_commit: bytes
+
+    @staticmethod
+    def compute(app_pk: "AppProvingKey", leaf_commit) -> \
+            "AppExecutionCommit":
+        from .vm import memory_tree as mt
+
+        vm, exe = app_pk.vm, app_pk.exe
+        init_root = [int(x) for x in vm.commit_init_memory(exe)]
+        prog = [int(x) for x in np.asarray(app_pk.exe_commit,
+                                           dtype=np.uint64)]
+        pc_pad = [int(exe.pc_start)] + [0] * 7
+        exe_digest = mt.compress(
+            mt.compress(mt.hash_leaf(prog), mt.hash_leaf(init_root)),
+            mt.hash_leaf(pc_pad))
+        return AppExecutionCommit(
+            app_exe_commit=_digest_to_bn254_bytes(exe_digest),
+            app_vm_commit=_digest_to_bn254_bytes(
+                [int(x) for x in np.asarray(leaf_commit,
+                                            dtype=np.uint64)]))
+
+    def exe_commit_digest(self) -> list:
+        return _bn254_bytes_to_digest(self.app_exe_commit)
+
+    def vm_commit_digest(self) -> list:
+        return _bn254_bytes_to_digest(self.app_vm_commit)
+
+
 @dataclass
 class AppProof:
     proof: object
@@ -225,7 +293,25 @@ class Sdk:
         hints = serialize_proof_felts(agg_pk.vm.pk.vk, final_proof)
         proof, _ = agg_pk.root_vm.prove(agg_pk.root_exe, inputs=hints,
                                         fixed_heights=agg_pk.root_heights)
+        # pin the EXACT height of every root AIR: profiled AIRs are padded
+        # to exactly the profile (pad_to asserts <=); the remaining AIRs
+        # (connector, range checkers, public values...) have structural,
+        # witness-independent heights — record them so the root shape is
+        # truly constant for a downstream SNARK wrapper (reference
+        # keygen/mod.rs:452-462 pins air_heights from a dummy proof)
+        for p in proof.per_air:
+            name = agg_pk.root_vm.airs[p.air_id].name
+            h = 1 << p.log_degree
+            prev = agg_pk.root_heights.setdefault(name, h)
+            assert prev == h, f"root air {name} height drifted {prev}->{h}"
         return proof
+
+    def app_execution_commit(self, app_pk: AppProvingKey,
+                             agg_pk: "AggProvingKey") -> AppExecutionCommit:
+        """The Bn254-facing (app_exe_commit, app_vm_commit) pair a user
+        checks against the final proof — the half of the halo2/EVM bridge
+        the codec alone did not cover (reference commit.rs:70-124)."""
+        return AppExecutionCommit.compute(app_pk, agg_pk.leaf_commit)
 
     def verify_root_proof(self, agg_pk: "AggProvingKey", root_proof,
                           expected_app_commit=None):
@@ -245,13 +331,19 @@ class Sdk:
                                 dtype=np.uint64)
         _chk(np.array_equal(got_commit, agg_pk.root_commit),
              "not the root verifier program")
-        # fixed root shape (reference root.rs air_heights check)
+        # fixed root shape (reference root.rs air_heights check): EXACT
+        # equality — profiled AIRs are padded to exactly the profile by
+        # the prover; AIRs pinned by a previous prove_root on this key
+        # (structural heights) must match too.  AIRs the local key has
+        # never profiled nor pinned are absent only on a verify-only key
+        # that has produced no root proof yet.
         for p in root_proof.per_air:
             name = agg_pk.root_vm.airs[p.air_id].name
             cap = agg_pk.root_heights.get(name)
             if cap is not None:
-                _chk((1 << p.log_degree) <= max(int(cap), 1) * 2,
-                     f"root air {name} height exceeds fixed profile")
+                _chk((1 << p.log_degree) == max(int(cap), 1),
+                     f"root air {name} height {1 << p.log_degree} != "
+                     f"fixed profile {cap}")
         pvs = [int(v) for v in res["public_values"]]
         _chk(pvs[10] == 0, f"aggregated exit code {pvs[10]}")
         _chk(pvs[11] == 1, "aggregated execution did not terminate")

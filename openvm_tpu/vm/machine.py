@@ -370,12 +370,24 @@ class VirtualMachine:
               fixed_heights: dict | None = None, nvm=None, seg_ctx=None,
               heights_only: bool = False):
         assert self.pk is not None, "call keygen() first"
+        import os as _os
+        import time as _time
+        _t0 = [_time.time()]
+        _timing = _os.environ.get("OPENVM_TPU_TIMING")
+
+        def _mark(stage):
+            if _timing:
+                now = _time.time()
+                print(f"[vm.prove] {stage}: {now - _t0[0]:.1f}s", flush=True)
+                _t0[0] = now
+
         if native and nvm is None and state is None:
             nvm = self._new_handle(exe)
         if nvm is not None:
             nvm.set_mode(False)
         pre = self._interp(exe).execute(inputs, max_insns, state=state,
                                         nvm=nvm, seg_ctx=seg_ctx)
+        _mark("execute (preflight)")
 
         traces: dict[str, np.ndarray] = {}
         # program: cached [pc|opcode|operands], common [mult]
@@ -522,6 +534,7 @@ class VirtualMachine:
             heights["program"] = len(program_cached)
             return heights, pre
 
+        _mark("tracegen")
         # lookup multiplicities from the interaction DAGs (generic)
         range_mult, bitwise_mult, tuple_mult = self._lookup_multiplicities(
             traces, program_cached)
@@ -529,6 +542,7 @@ class VirtualMachine:
         traces["bitwise_lookup"] = bitwise_mult
         if "range_tuple" in self.air_index:
             traces["range_tuple"] = tuple_mult
+        _mark("lookup multiplicities")
 
         return self._assemble_and_prove(traces, pre, exe, program_cached,
                                         merkle_pvs, debug, state)
