@@ -254,6 +254,15 @@ class Rv32Phantom:
     HINT_LOAD_BY_KEY = 0x23
 
 
+class ModularPhantom:
+    """Algebra extension phantoms (reference
+    extensions/algebra/transpiler/src/lib.rs:34-37): hint-stream fills
+    for quadratic non-residues and square roots (curve decompression);
+    c_upper carries the modulus index."""
+    HINT_NON_QR = 0x50
+    HINT_SQRT = 0x51
+
+
 class PairingPhantom:
     """Pairing extension phantom (reference
     extensions/pairing/transpiler/src/lib.rs:13-18): resets the hint

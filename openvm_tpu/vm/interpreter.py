@@ -28,6 +28,7 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            Rv32JalrOpcode, Rv32KeccakOpcode,
                            Rv32Sha256Opcode,
                            Rv32LoadStoreOpcode, Rv32Phantom, PairingPhantom,
+                           ModularPhantom,
                            Shift256Opcode, ShiftOpcode, SysPhantom,
                            SystemOpcode, VmExe)
 
@@ -688,6 +689,28 @@ class Interpreter:
                         random.randrange(256) for _ in range(4 * length))
                 elif disc == PairingPhantom.HINT_FINAL_EXP:
                     _hint_final_exp(st, a, b, c_upper)
+                elif disc == ModularPhantom.HINT_NON_QR:
+                    from .modhints import non_qr_hint_bytes
+                    if c_upper >= len(self.moduli):
+                        raise ExecutionError(
+                            f"hint_non_qr modulus index {c_upper} out of "
+                            f"range ({len(self.moduli)} moduli)")
+                    st.streams.hint_stream.clear()
+                    st.streams.hint_stream.extend(
+                        non_qr_hint_bytes(self.moduli[c_upper]))
+                elif disc == ModularPhantom.HINT_SQRT:
+                    from .modhints import num_limbs, sqrt_hint_bytes
+                    if c_upper >= len(self.moduli):
+                        raise ExecutionError(
+                            f"hint_sqrt modulus index {c_upper} out of "
+                            f"range ({len(self.moduli)} moduli)")
+                    mod = self.moduli[c_upper]
+                    ptr = st.regs[a // 4]
+                    nl = num_limbs(mod)
+                    st.ensure_mem(ptr, nl)
+                    xv = int.from_bytes(st.memory[ptr:ptr + nl], "little")
+                    st.streams.hint_stream.clear()
+                    st.streams.hint_stream.extend(sqrt_hint_bytes(xv, mod))
                 elif disc == Rv32Phantom.HINT_LOAD_BY_KEY:
                     ptr = st.regs[a // 4]
                     length = st.regs[b // 4]

@@ -295,6 +295,7 @@ class VirtualMachine:
         max_h = self.config.stark.fri.max_log_trace_height
         fits = all(h <= (1 << max_h) for h in heights.values())
         return {"instret": pre.instret, "chip_heights": heights,
+                "exit_code": pre.exit_code,
                 "fits_single_segment": fits,
                 "total_cells": sum(
                     h * a.width for a, h in

@@ -34,6 +34,7 @@ from .instructions import (BaseAlu256Opcode, BaseAluOpcode,
                            Rv32JalLuiOpcode, Rv32JalrOpcode, Rv32KeccakOpcode,
                            Rv32Sha256Opcode,
                            Rv32LoadStoreOpcode, Rv32Phantom, PairingPhantom,
+                           ModularPhantom,
                            Shift256Opcode, VerifyBatchOpcode,
                            ShiftOpcode, SystemOpcode, VmExe)
 from .interpreter import ExecutionError, Streams, _imm16, _imm24, _s32, _sx
@@ -1398,6 +1399,22 @@ class PreflightInterpreter:
                     streams.hint_stream.clear()
                     streams.hint_stream.extend(hint_final_exp_bytes(
                         c >> 16, _peek, _reg(a), _reg(b)))
+                elif disc == ModularPhantom.HINT_NON_QR:
+                    from .modhints import non_qr_hint_bytes
+                    mod = self.moduli[c >> 16]
+                    streams.hint_stream.clear()
+                    streams.hint_stream.extend(non_qr_hint_bytes(mod))
+                elif disc == ModularPhantom.HINT_SQRT:
+                    from .modhints import num_limbs, sqrt_hint_bytes
+                    mod = self.moduli[c >> 16]
+                    ptr = int.from_bytes(
+                        bytes(mem._get((1, a // 4))[:4]), "little")
+                    nl = num_limbs(mod)
+                    xv = int.from_bytes(
+                        bytes(mem._get((2, (ptr + k) // 4))[(ptr + k) % 4]
+                              for k in range(nl)), "little")
+                    streams.hint_stream.clear()
+                    streams.hint_stream.extend(sqrt_hint_bytes(xv, mod))
                 _append(r, pc=pc, ts=ts, a=a, b=b, c=c)
                 pc, ts = pc + 4, ts + 1
 

@@ -397,8 +397,16 @@ class ModularTranspilerExtension:
             return None
         base = d.funct7 % 8
         mod_idx = d.funct7 // 8
-        if base in (_MOD_SETUP, 6, 7):  # setup / hint_non_qr / hint_sqrt
+        if base == _MOD_SETUP:  # setup -> nop (modulus is a vk constant)
             return one(nop())
+        if base in (6, 7):  # HintNonQr / HintSqrt -> phantom sub-executor
+            # (reference algebra/transpiler/src/lib.rs:111-130: phantom
+            # with ModularPhantom disc, a = 4*rs1 for sqrt, c_upper =
+            # mod_idx; the hint fills the stream, guest verifies)
+            disc = 0x50 if base == 6 else 0x51
+            return one(Instruction(SystemOpcode.PHANTOM,
+                                   a=4 * d.rs1 if base == 7 else 0,
+                                   b=0, c=disc | (mod_idx << 16)))
         local = _MOD_BASE_TO_LOCAL.get(base)
         if local is None:
             return None
