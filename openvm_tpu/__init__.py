@@ -34,7 +34,12 @@ if (not _os.environ.get("OPENVM_TPU_NO_CACHE")
         "OPENVM_TPU_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache", "openvm_tpu_xla"))
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    # Cache EVERY compile: the prover's cost profile is ~100 small (1-5s)
+    # compiles per cold prove, not a few big ones — with the default 1s
+    # floor most of them were re-paid by every process (round-5 profiling:
+    # the logup phase cost ~260s in compile on BOTH a cold and a
+    # disk-cache-warm process).  Reads are ~0.1s/entry.
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 

@@ -318,15 +318,22 @@ def build_perm_trace(dag, env, chunks: list[list[int]], challenges):
                                   chunk_gather, challenges)[:, :4 * m])
     perm_cols = (jnp.concatenate(blocks, axis=0) if len(blocks) > 1
                  else blocks[0])[:n]  # (N, 4m)
+    # one fused jit for the tail (row-sum + prefix scan + concat + last
+    # element): the unrolled eager version cost m+3 small compiles per
+    # (n, m) shape class — ~2s each on this backend, every process
+    return _perm_tail_jit(perm_cols)
 
-    row_sum = ef.zeros((n,))
-    for j in range(m):
-        row_sum = ef.add(row_sum, perm_cols[:, 4 * j:4 * j + 4])
-    phi = _modadd_scan(row_sum)  # (N, 4) inclusive prefix sums
-    cumsum = phi[-1]
 
+@jax.jit
+def _perm_tail_jit(perm_cols: jnp.ndarray):
+    """(N, 4m) perm columns -> ((N, 4m+4) matrix with phi appended,
+    (4,) cumulative sum)."""
+    n = perm_cols.shape[0]
+    m = perm_cols.shape[1] // 4
+    row_sum = ef.sum_mod(perm_cols.reshape(n, m, 4), axis=1)  # (N, 4)
+    phi = _modadd_scan(row_sum)
     perm_matrix = jnp.concatenate([perm_cols, phi.reshape(n, 4)], axis=1)
-    return perm_matrix, cumsum
+    return perm_matrix, phi[-1]
 
 
 def _pow_ladder(alpha, k: int) -> jnp.ndarray:

@@ -1,0 +1,54 @@
+"""One-off profiling driver: real-ELF prove with stage marks + stuck-stack dumps.
+
+Not part of the package; used to attack the end-to-end host-cost gap
+(round-4 verdict Weak #3).  Writes progress to stdout unbuffered.
+"""
+import faulthandler
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("OPENVM_TPU_TIMING", "1")
+faulthandler.dump_traceback_later(180, repeat=True, file=sys.stderr)
+
+N = int(os.environ.get("BENCH_FIB_N", "2000"))
+
+t0 = time.time()
+
+
+def mark(s):
+    print(f"[profile] {s}: {time.time() - t0:.1f}s", flush=True)
+
+
+from openvm_tpu.vm.elf import load_elf  # noqa: E402
+from openvm_tpu.vm.machine import Rv32Config, VirtualMachine  # noqa: E402
+from openvm_tpu.vm.transpiler import transpile_elf  # noqa: E402
+
+mark("imports")
+
+REAL_FIB_ELF = ("/root/reference/benchmarks/guest/fibonacci/elf/"
+                "openvm-fibonacci-program.elf")
+EXECUTORS = ("alu", "lt", "beq", "blt", "jal_lui", "jalr",
+             "auipc", "loadstore", "shift", "hintstore")
+
+exe = transpile_elf(load_elf(open(REAL_FIB_ELF, "rb").read()))
+inputs = [list(int(N).to_bytes(8, "little"))]
+vm = VirtualMachine(Rv32Config(executors=EXECUTORS))
+mark("vm constructed")
+vm.keygen()
+mark("keygen")
+t1 = time.time()
+proof, pre = vm.prove(exe, inputs=inputs)
+cold = time.time() - t1
+mark(f"cold prove ({pre.instret} insns, {cold:.1f}s, "
+     f"{pre.instret / cold:.1f} insn/s)")
+t1 = time.time()
+proof, pre = vm.prove(exe, inputs=inputs)
+warm = time.time() - t1
+mark(f"warm prove ({warm:.1f}s, {pre.instret / warm:.1f} insn/s)")
+t1 = time.time()
+vm.verify(proof)
+mark(f"verify ({time.time() - t1:.1f}s)")
+print(json.dumps({"insns": pre.instret, "cold_s": round(cold, 2),
+                  "warm_s": round(warm, 2)}), flush=True)
