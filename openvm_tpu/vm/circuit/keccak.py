@@ -29,12 +29,15 @@ numpy pass) instead of the reference's row-serial sponge fill.
 Instruction: KECCAK256 (0x310) a=4*rd b=4*rs1 c=4*rs2 d=1 e=2
   dst = u32 regs[rd], src = u32 regs[rs1], len = u32 regs[rs2];
   digest = keccak256(mem[src .. src+len]); mem[dst .. dst+32] = digest.
-src and dst must be 4-byte aligned (word-granular memory; the reference
-allows byte alignment via access adapters — documented departure).
+src and dst may be byte-aligned: memory stays word-granular (no
+byte-level bus traffic) and the chip reads/writes whole-word WINDOWS,
+selecting bytes in-circuit — the access-adapter role of reference
+system/memory/adapter/mod.rs covered for both sides.
 
 Timestamp schedule per block: register reads at ticks 0..2 (first block),
-34 absorb word reads at ticks 3..36 (gated), 8 digest writes at ticks
-37..44 (last block); ts advances 45 per block row.
+35 window word reads at ticks 3..37 (gated), 9 digest window writes at
+ticks 38..46 (last block, word 9 gated on doff>0); ts advances 47 per
+block row.
 """
 
 from __future__ import annotations
@@ -59,7 +62,8 @@ U64_LIMBS = 4                        # u16 limbs per lane
 NUM_LANES = 25
 STATE_U16S = NUM_LANES * U64_LIMBS   # 100
 DIGEST_WORDS = 8
-TS_PER_BLOCK = 3 + W_WINDOW + DIGEST_WORDS  # 46
+D_WINDOW = DIGEST_WORDS + 1          # 9: unaligned digests span one extra word
+TS_PER_BLOCK = 3 + W_WINDOW + D_WINDOW  # 47
 
 ROUND_CONSTANTS = [
     0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
@@ -472,9 +476,14 @@ class KeccakVmAir(Air):
         c.alloc("abs_hi", RATE_U16S)
         c.alloc("state_out", STATE_U16S)
         c.alloc("dig_hi", 2 * DIGEST_WORDS)
-        c.alloc("prevw", 4 * DIGEST_WORDS)
-        c.alloc("pts_wr", DIGEST_WORDS)
-        c.alloc("dlo_wr", DIGEST_WORDS), c.alloc("dhi_wr", DIGEST_WORDS)
+        # write window (unaligned digests): doff one-hot, written bytes,
+        # word-9 write gate, prev values + timestamps per window word
+        c.alloc("doff_f", 4)
+        c.alloc("wrb", 4 * D_WINDOW)
+        c.alloc("wr8")
+        c.alloc("prevw", 4 * D_WINDOW)
+        c.alloc("pts_wr", D_WINDOW)
+        c.alloc("dlo_wr", D_WINDOW), c.alloc("dhi_wr", D_WINDOW)
         self.width = c.width
 
     def eval(self, b):
@@ -629,28 +638,57 @@ class KeccakVmAir(Air):
                       * (nxt("is_first") - (nxt("is_valid") - cont)))
         b.assert_zero(b.is_transition() * (1 - v) * nxt("is_valid"))
 
-        # digest writes (last block) at ticks 37..44
+        # digest writes (last block) at ticks 38..46: the 32 digest bytes
+        # land at BYTE address dst = 4*wa_dst + doff (doff in 0..3,
+        # one-hot) — the write side of the word-window technique (access-
+        # adapter role, reference system/memory/adapter/mod.rs:45-51): a
+        # window of DIGEST_WORDS+1 whole words is read-modify-written;
+        # window bytes outside [doff, doff+32) keep their previous value.
         wdl, wdh = _m(b, c, "wa_dst_lo"), _m(b, c, "wa_dst_hi")
         vl = v * last
-        b.assert_zero(vl * (u32(dstp) - 4 * (wdl + (1 << 15) * wdh)))
+        doff_f = _marr(b, c, "doff_f", 4)
+        for k in range(4):
+            b.assert_bool(doff_f[k])
+        # exactly one flag set on last rows, none elsewhere -> every
+        # selection constraint below is automatically vl-gated at deg 2
+        b.assert_zero(sum(doff_f) - vl)
+        doff = sum(k * doff_f[k] for k in range(1, 4))
+        b.assert_zero(vl * (u32(dstp) - doff
+                            - 4 * (wdl + (1 << 15) * wdh)))
         B.range_check(b, wdl, 15, vl)
         B.range_check(b, wdh, 12, vl)
         wa_dst = wdl + (1 << 15) * wdh
         dig_hi = _marr(b, c, "dig_hi", 2 * DIGEST_WORDS)
-        prevw = _marr(b, c, "prevw", 4 * DIGEST_WORDS)
+        prevw = _marr(b, c, "prevw", 4 * D_WINDOW)
+        wrb = _marr(b, c, "wrb", 4 * D_WINDOW)
         for m in range(2 * DIGEST_WORDS):
             B.byte_pair_check(b, state_out[m] - 256 * dig_hi[m],
                               dig_hi[m], vl)
-        for w in range(DIGEST_WORDS):
-            lo0 = state_out[2 * w] - 256 * dig_hi[2 * w]
-            lo1 = state_out[2 * w + 1] - 256 * dig_hi[2 * w + 1]
-            data = [lo0, dig_hi[2 * w], lo1, dig_hi[2 * w + 1]]
-            B.mem_write(b, B.AS_MEMORY, wa_dst + w, data,
+        # digest byte stream (little-endian u16 limbs of state_out)
+        dig_bytes = []
+        for m in range(2 * DIGEST_WORDS):
+            dig_bytes.append(state_out[m] - 256 * dig_hi[m])
+            dig_bytes.append(dig_hi[m])
+        # written window bytes: digest where the window overlaps it,
+        # previous memory content at the edges
+        for j in range(4 * D_WINDOW):
+            b.assert_zero(sum(
+                doff_f[o] * (wrb[j] - (dig_bytes[j - o]
+                                       if 0 <= j - o < 4 * DIGEST_WORDS
+                                       else prevw[j]))
+                for o in range(4)))
+        # window word 9 holds digest bytes iff doff > 0
+        wr8 = _m(b, c, "wr8")
+        b.assert_bool(wr8)
+        b.assert_zero(wr8 - vl * (1 - doff_f[0]))
+        for w in range(D_WINDOW):
+            B.mem_write(b, B.AS_MEMORY, wa_dst + w, wrb[4 * w:4 * w + 4],
                         prevw[4 * w:4 * w + 4],
                         b.main(c.index["pts_wr"] + w),
                         ts + 3 + W_WINDOW + w,
                         b.main(c.index["dlo_wr"] + w),
-                        b.main(c.index["dhi_wr"] + w), vl,
+                        b.main(c.index["dhi_wr"] + w),
+                        wr8 if w == DIGEST_WORDS else vl,
                         check_bytes=False)
 
     # -- tracegen --------------------------------------------------------
@@ -746,12 +784,20 @@ class KeccakVmAir(Air):
                 + 2 * DIGEST_WORDS]
         t[:n, c.index["dig_hi"]:c.index["dig_hi"] + 2 * DIGEST_WORDS] = \
             np.where(isl[:, None] != 0, dig >> 8, 0)
+        doff = (dst_u32 & 3).astype(np.int64)
+        for k in range(4):
+            t[:n, c.index["doff_f"] + k] = (doff == k) & (isl != 0)
+        t[:n, c.index["wr8"]] = (doff > 0) & (isl != 0)
+        t[:n, c.index["wrb"]:c.index["wrb"] + 4 * D_WINDOW] = \
+            np.asarray(rec["wrb"], dtype=np.uint64).reshape(n, -1)
         prevw = np.asarray(rec["prevw"], dtype=np.uint64).reshape(n, -1)
-        t[:n, c.index["prevw"]:c.index["prevw"] + 4 * DIGEST_WORDS] = prevw
+        t[:n, c.index["prevw"]:c.index["prevw"] + 4 * D_WINDOW] = prevw
         pts_wr = np.asarray(rec["pts_wr"], dtype=np.uint64)
-        for w in range(DIGEST_WORDS):
+        wr_gate = [(isl != 0) if w < DIGEST_WORDS
+                   else ((isl != 0) & (doff > 0)) for w in range(D_WINDOW)]
+        for w in range(D_WINDOW):
             t[:n, c.index["pts_wr"] + w] = pts_wr[:, w]
-            d = np.where(isl != 0,
+            d = np.where(wr_gate[w],
                          (ts + 3 + W_WINDOW + w - pts_wr[:, w] - 1) % P, 0)
             t[:n, c.index["dlo_wr"] + w] = d & 0x7FFF
             t[:n, c.index["dhi_wr"] + w] = d >> 15

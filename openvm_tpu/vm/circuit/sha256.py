@@ -27,10 +27,12 @@ vectorized tracegen, and every constraint at degree <= 3.
 
 Instruction: SHA256 (0x320) a=4*rd b=4*rs1 c=4*rs2 d=1 e=2 (reference
 extensions/sha256/transpiler/src/lib.rs; custom-0 funct3=0b100 funct7=1);
-src/dst must be 4-byte aligned (word-granular memory departure, as keccak).
+src and dst may both be byte-aligned: the chip reads/writes whole-word
+WINDOWS and selects bytes in-circuit (access-adapter role, as keccak).
 
 Timestamp schedule per block: register reads ticks 0..2 (first block),
-16 gated word reads ticks 3..18, 8 digest writes ticks 19..26; ts += 27.
+17 gated window reads ticks 3..19, 9 digest window writes ticks 20..28
+(last block, word 9 gated on doff>0); ts += 29.
 """
 
 from __future__ import annotations
@@ -52,7 +54,8 @@ W_WINDOW = BLOCK_WORDS + 1  # 17: unaligned blocks span one extra word
 NUM_ROUNDS = 64
 HASH_WORDS = 8
 DIGEST_WORDS = 8
-TS_PER_BLOCK = 3 + W_WINDOW + DIGEST_WORDS  # 28
+D_WINDOW = DIGEST_WORDS + 1  # 9: unaligned digests span one extra word
+TS_PER_BLOCK = 3 + W_WINDOW + D_WINDOW  # 29
 
 K = [
     0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
@@ -544,9 +547,12 @@ class Sha256VmAir(Air):
         c.alloc("h0", 2 * HASH_WORDS)
         c.alloc("out", 2 * HASH_WORDS)
         c.alloc("dig_hi", 2 * HASH_WORDS)     # high byte of each out limb
-        c.alloc("prevw", 4 * DIGEST_WORDS)
-        c.alloc("pts_wr", DIGEST_WORDS)
-        c.alloc("dlo_wr", DIGEST_WORDS), c.alloc("dhi_wr", DIGEST_WORDS)
+        c.alloc("doff_f", 4)
+        c.alloc("wrb", 4 * D_WINDOW)
+        c.alloc("wr8")
+        c.alloc("prevw", 4 * D_WINDOW)
+        c.alloc("pts_wr", D_WINDOW)
+        c.alloc("dlo_wr", D_WINDOW), c.alloc("dhi_wr", D_WINDOW)
         self.width = c.width
 
     def eval(self, b):
@@ -715,27 +721,52 @@ class Sha256VmAir(Air):
                       * (nxt("is_first") - (nxt("is_valid") - cont)))
         b.assert_zero(b.is_transition() * (1 - v) * nxt("is_valid"))
 
-        # digest writes (big-endian bytes of out words)
+        # digest writes (big-endian bytes of out words) at ticks 20..28:
+        # dst = 4*wa_dst + doff may be byte-aligned — read-modify-write a
+        # DIGEST_WORDS+1 word window, preserving previous memory bytes
+        # outside [doff, doff+32) (write-side access-adapter role,
+        # reference system/memory/adapter/mod.rs:45-51; same scheme as
+        # keccak.py).
         wdl, wdh = _m(b, c, "wa_dst_lo"), _m(b, c, "wa_dst_hi")
         vl = v * last
-        b.assert_zero(vl * (u32(dstp) - 4 * (wdl + (1 << 15) * wdh)))
+        doff_f = _marr(b, c, "doff_f", 4)
+        for k in range(4):
+            b.assert_bool(doff_f[k])
+        b.assert_zero(sum(doff_f) - vl)  # one-hot exactly on last rows
+        doff = sum(k * doff_f[k] for k in range(1, 4))
+        b.assert_zero(vl * (u32(dstp) - doff
+                            - 4 * (wdl + (1 << 15) * wdh)))
         B.range_check(b, wdl, 15, vl)
         B.range_check(b, wdh, 12, vl)
         wa_dst = wdl + (1 << 15) * wdh
         dig_hi = _marr(b, c, "dig_hi", 2 * HASH_WORDS)
-        prevw = _marr(b, c, "prevw", 4 * DIGEST_WORDS)
+        prevw = _marr(b, c, "prevw", 4 * D_WINDOW)
+        wrb = _marr(b, c, "wrb", 4 * D_WINDOW)
         for m in range(2 * HASH_WORDS):
             B.byte_pair_check(b, outc[m] - 256 * dig_hi[m], dig_hi[m], vl)
+        # digest byte stream: big-endian bytes of each out word
+        dig_bytes = []
         for w in range(DIGEST_WORDS):
             lo0 = outc[2 * w] - 256 * dig_hi[2 * w]        # lo limb bytes
             lo1 = outc[2 * w + 1] - 256 * dig_hi[2 * w + 1]  # hi limb
-            data = [dig_hi[2 * w + 1], lo1, dig_hi[2 * w], lo0]
-            B.mem_write(b, B.AS_MEMORY, wa_dst + w, data,
+            dig_bytes += [dig_hi[2 * w + 1], lo1, dig_hi[2 * w], lo0]
+        for j in range(4 * D_WINDOW):
+            b.assert_zero(sum(
+                doff_f[o] * (wrb[j] - (dig_bytes[j - o]
+                                       if 0 <= j - o < 4 * DIGEST_WORDS
+                                       else prevw[j]))
+                for o in range(4)))
+        wr8 = _m(b, c, "wr8")
+        b.assert_bool(wr8)
+        b.assert_zero(wr8 - vl * (1 - doff_f[0]))
+        for w in range(D_WINDOW):
+            B.mem_write(b, B.AS_MEMORY, wa_dst + w, wrb[4 * w:4 * w + 4],
                         prevw[4 * w:4 * w + 4],
                         b.main(c.index["pts_wr"] + w),
                         ts + 3 + W_WINDOW + w,
                         b.main(c.index["dlo_wr"] + w),
-                        b.main(c.index["dhi_wr"] + w), vl,
+                        b.main(c.index["dhi_wr"] + w),
+                        wr8 if w == DIGEST_WORDS else vl,
                         check_bytes=False)
 
     # -- tracegen --------------------------------------------------------
@@ -819,12 +850,20 @@ class Sha256VmAir(Air):
         outl = t[:n, c.index["out"]:c.index["out"] + 2 * HASH_WORDS]
         t[:n, c.index["dig_hi"]:c.index["dig_hi"] + 2 * HASH_WORDS] = \
             np.where(isl[:, None] != 0, outl >> 8, 0)
+        doff = (dst_u32 & 3).astype(np.int64)
+        for k in range(4):
+            t[:n, c.index["doff_f"] + k] = (doff == k) & (isl != 0)
+        t[:n, c.index["wr8"]] = (doff > 0) & (isl != 0)
+        t[:n, c.index["wrb"]:c.index["wrb"] + 4 * D_WINDOW] = \
+            np.asarray(rec["wrb"], dtype=np.uint64).reshape(n, -1)
         prevw = np.asarray(rec["prevw"], dtype=np.uint64).reshape(n, -1)
-        t[:n, c.index["prevw"]:c.index["prevw"] + 4 * DIGEST_WORDS] = prevw
+        t[:n, c.index["prevw"]:c.index["prevw"] + 4 * D_WINDOW] = prevw
         pts_wr = np.asarray(rec["pts_wr"], dtype=np.uint64)
-        for w in range(DIGEST_WORDS):
+        wr_gate = [(isl != 0) if w < DIGEST_WORDS
+                   else ((isl != 0) & (doff > 0)) for w in range(D_WINDOW)]
+        for w in range(D_WINDOW):
             t[:n, c.index["pts_wr"] + w] = pts_wr[:, w]
-            d = np.where(isl != 0,
+            d = np.where(wr_gate[w],
                          (ts + 3 + W_WINDOW + w - pts_wr[:, w] - 1) % P,
                          0)
             t[:n, c.index["dlo_wr"] + w] = d & 0x7FFF

@@ -483,10 +483,7 @@ class Interpreter:
             def h(st, ra=ra, rb=rb, rc=rc):
                 from .circuit.keccak import keccak256
                 dst, src, ln = st.regs[ra], st.regs[rb], st.regs[rc]
-                if dst % 4:  # sources may be byte-aligned (word window)
-                    raise ExecutionError(
-                        f"unaligned keccak256 digest pointer dst={dst:#x} "
-                        f"at pc {st.pc:#x}")
+                # src and dst may both be byte-aligned (word windows)
                 if src + ln >= (1 << 29) or dst + 32 >= (1 << 29):
                     raise ExecutionError("keccak256 range out of bounds")
                 st.ensure_mem(src + ln, 1)
@@ -501,10 +498,7 @@ class Interpreter:
             def h(st, ra=ra, rb=rb, rc=rc):
                 from .circuit.sha256 import sha256
                 dst, src, ln = st.regs[ra], st.regs[rb], st.regs[rc]
-                if dst % 4:  # sources may be byte-aligned (word window)
-                    raise ExecutionError(
-                        f"unaligned sha256 digest pointer dst={dst:#x} "
-                        f"at pc {st.pc:#x}")
+                # src and dst may both be byte-aligned (word windows)
                 if src + ln >= (1 << 29) or dst + 32 >= (1 << 29):
                     raise ExecutionError("sha256 range out of bounds")
                 st.ensure_mem(src + ln, 1)

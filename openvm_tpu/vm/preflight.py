@@ -107,6 +107,11 @@ class PreflightMemory:
         w[4] = now_ts
         return prev, prev_ts
 
+    def peek(self, a_s, wa):
+        """Current word value without a timestamped access (used to build
+        read-modify-write window words for unaligned digest stores)."""
+        return list(self._get((a_s, wa))[:4])
+
 
 def _u32_limbs(v):
     return [(v >> (8 * i)) & 0xFF for i in range(4)]
@@ -1203,10 +1208,6 @@ class PreflightInterpreter:
                 dst = _from_limbs(dstp)
                 src = _from_limbs(srcp)
                 ln = _from_limbs(lenp)
-                if dst % 4:
-                    raise ExecutionError(
-                        f"unaligned keccak256 digest pointer dst={dst:#x} "
-                        f"at pc {pc:#x}")
                 if src + ln >= (1 << 29) or dst + 32 >= (1 << 29):
                     raise ExecutionError(
                         f"keccak256 range out of bounds at pc {pc:#x}")
@@ -1242,16 +1243,24 @@ class PreflightInterpreter:
                             block[8 * i:8 * i + 8], "little")
                     absorbed = list(lanes)
                     lanes = keccak_f(lanes)
-                    prevw = [[0] * 4 for _ in range(8)]
-                    pts_wr = [0] * 8
+                    prevw = [[0] * 4 for _ in range(9)]
+                    pts_wr = [0] * 9
+                    wrb = [0] * 36
                     if is_last:
                         digest = b"".join(lanes[i].to_bytes(8, "little")
                                           for i in range(4))
-                        for w in range(8):
-                            word = list(digest[4 * w:4 * w + 4])
+                        doff = dst % 4
+                        n_wr = 8 + (1 if doff else 0)
+                        for w in range(n_wr):
+                            word = mem.peek(2, dst // 4 + w)
+                            for k in range(4):
+                                i = 4 * w + k - doff
+                                if 0 <= i < 32:
+                                    word[k] = digest[i]
                             pv_, pz = mem.write(2, dst // 4 + w, word,
                                                 ts_b + 3 + W_WINDOW + w)
                             prevw[w], pts_wr[w] = pv_, pz
+                            wrb[4 * w:4 * w + 4] = word
                     _append(r, pc=pc, ts=ts_b, is_first=is_first,
                             is_last=is_last, a_idx=a_idx, b_idx=b_idx,
                             c_idx=c_idx, dstp=dstp, srcp=srcp, lenp=lenp,
@@ -1264,7 +1273,7 @@ class PreflightInterpreter:
                             # (`lanes[i] ^= ...`) must not mutate this
                             # row's recorded output through the reference
                             state_in=state_in, state_out=list(lanes),
-                            prevw=prevw, pts_wr=pts_wr)
+                            prevw=prevw, pts_wr=pts_wr, wrb=wrb)
                     _append(rf, state_in=absorbed)
                 pc, ts = pc + 4, ts + TS_PER_BLOCK * nblocks
 
@@ -1282,10 +1291,6 @@ class PreflightInterpreter:
                 dst = _from_limbs(dstp)
                 src = _from_limbs(srcp)
                 ln = _from_limbs(lenp)
-                if dst % 4:
-                    raise ExecutionError(
-                        f"unaligned sha256 digest pointer dst={dst:#x} "
-                        f"at pc {pc:#x}")
                 if src + ln >= (1 << 29) or dst + 32 >= (1 << 29):
                     raise ExecutionError(
                         f"sha256 range out of bounds at pc {pc:#x}")
@@ -1324,16 +1329,24 @@ class PreflightInterpreter:
                              for i in range(SW)]
                     state_in = list(state)
                     state, _, _ = sha_compress(state, words)
-                    prevw = [[0] * 4 for _ in range(8)]
-                    pts_wr = [0] * 8
+                    prevw = [[0] * 4 for _ in range(9)]
+                    pts_wr = [0] * 9
+                    wrb = [0] * 36
                     if is_last:
                         digest = b"".join(v_.to_bytes(4, "big")
                                           for v_ in state)
-                        for w in range(8):
-                            word = list(digest[4 * w:4 * w + 4])
+                        d_off = dst % 4
+                        n_wr = 8 + (1 if d_off else 0)
+                        for w in range(n_wr):
+                            word = mem.peek(2, dst // 4 + w)
+                            for k in range(4):
+                                i = 4 * w + k - d_off
+                                if 0 <= i < 32:
+                                    word[k] = digest[i]
                             pv_, pz = mem.write(2, dst // 4 + w, word,
                                                 ts_b + 3 + SWW + w)
                             prevw[w], pts_wr[w] = pv_, pz
+                            wrb[4 * w:4 * w + 4] = word
                     _append(r, pc=pc, ts=ts_b, is_first=is_first,
                             is_last=is_last, is_c=is_c, pad80prev=p80,
                             a_idx=a_idx, b_idx=b_idx, c_idx=c_idx,
@@ -1345,7 +1358,7 @@ class PreflightInterpreter:
                             block_bytes=list(block), pad_start=real,
                             pts_w=pts_w, state_in=state_in,
                             state_out=list(state), prevw=prevw,
-                            pts_wr=pts_wr)
+                            pts_wr=pts_wr, wrb=wrb)
                     _append(rf, state=state_in, words=words)
                 pc, ts = pc + 4, ts + STS * nblocks
 

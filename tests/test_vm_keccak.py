@@ -17,7 +17,7 @@ from openvm_tpu.vm.circuit.keccak import keccak256
 from openvm_tpu.vm.instructions import Program
 from openvm_tpu.vm.interpreter import Interpreter
 from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
-from tests.test_vm_prove import TERMINATE, asm_i, reveal
+from tests.test_vm_prove import TERMINATE, asm_i, asm_s, reveal
 
 TEST_STARK = StarkConfig(fri=FriParameters(log_blowup=1, num_queries=2,
                                            proof_of_work_bits=1))
@@ -158,19 +158,56 @@ def test_keccak_unaligned_source_proves():
     assert pre.public_values[0:4] == list(digest[0:4])
 
 
-def test_keccak_unaligned_digest_pointer_rejected():
-    words = [
-        asm_i(0x13, 5, 0, DST + 2, 0),  # unaligned dst
-        asm_i(0x13, 6, 0, SRC, 0),
-        asm_i(0x13, 7, 0, 8, 0),
+def test_keccak_unaligned_digest_pointer_proves():
+    """A digest written to a byte-aligned (unaligned) address executes AND
+    proves: the sponge chip read-modify-writes a DIGEST_WORDS+1 word
+    window, preserving previous memory bytes at the edges (write side of
+    the access-adapter role; was a hard rejection through round 4)."""
+    dst_off = 2
+    data = bytes((3 * i + 7) & 0xFF for i in range(40))
+    # prefill the dst window edge words so edge-byte preservation is real
+    words = [(0 << 20) | (0b011 << 12) | 0x0B]          # phantom hint_input
+    words += [asm_i(0x13, 1, 0, SRC - 4, 0), hint_storew(1)]  # len header
+    for k in range(0, len(data), 4):
+        words += [asm_i(0x13, 1, 0, SRC + k, 0), hint_storew(1)]
+    words += [
+        (0x12345 << 12) | (2 << 7) | 0x37,     # lui  x2, 0x12345
+        asm_i(0x13, 2, 2, 0x678, 0),           # addi x2, x2, 0x678
+        asm_s(2, 0, 2, DST),                   # sw at window word 0
+        asm_s(2, 0, 2, DST + 32),              # sw at window word 8
+        asm_i(0x13, 5, 0, DST + dst_off, 0),   # x5 = dst (unaligned)
+        asm_i(0x13, 6, 0, SRC, 0),             # x6 = src
+        asm_i(0x13, 7, 0, len(data), 0),       # x7 = len
         keccak_r(5, 6, 7),
         TERMINATE,
     ]
     prog = Program(instructions=Transpiler().transpile(words), pc_base=0)
     exe = VmExe(program=prog, pc_start=0)
-    from openvm_tpu.vm.interpreter import ExecutionError
-    with pytest.raises(ExecutionError, match="unaligned keccak256"):
-        Interpreter(exe).execute()
+    inputs = _inputs(data)
+    st = Interpreter(exe).execute(inputs=inputs)
+    assert st.exit_code == 0
+    digest = keccak256(data)
+    assert bytes(st.memory[DST + dst_off:DST + dst_off + 32]) == digest
+    # edge bytes below dst and above dst+32 keep their previous value
+    # (sentinel 0x12345678 -> LE bytes [0x78, 0x56, 0x34, 0x12])
+    assert st.memory[DST] == 0x78 and st.memory[DST + 1] == 0x56
+    assert st.memory[DST + 34] == 0x34 and st.memory[DST + 35] == 0x12
+
+    vm = VirtualMachine(Rv32Config(stark=TEST_STARK, keccak=True,
+                                   executors=("alu", "jal_lui", "loadstore",
+                                              "hintstore")))
+    vm.keygen()
+    import openvm_tpu.vm.machine as M
+    orig = M.stark_prove
+    if not os.environ.get("OPENVM_SLOW"):
+        M.stark_prove = lambda pk, ctxs: (_ for _ in ()).throw(SystemExit(0))
+    try:
+        proof, pre = vm.prove(exe, inputs=inputs, debug=True, native=False)
+    except SystemExit:
+        return
+    finally:
+        M.stark_prove = orig
+    vm.verify(proof)
 
 
 def test_keccak_debug_constraints():

@@ -188,3 +188,55 @@ def test_sha256_unaligned_source_proves():
         M.stark_prove = orig
     vm.verify(proof)
     assert pre.public_values[0:4] == list(digest[0:4])
+
+
+def test_sha256_unaligned_digest_pointer_proves():
+    """A digest written to a byte-aligned address executes AND proves via
+    the read-modify-write digest word window (write-side access-adapter
+    role; was a hard rejection through round 4).  Same scheme as keccak
+    (tests/test_vm_keccak.py::test_keccak_unaligned_digest_pointer_proves)."""
+    from tests.test_vm_prove import asm_s
+
+    dst_off = 3
+    data = bytes((7 * i + 5) & 0xFF for i in range(30))
+    words = [(0 << 20) | (0b011 << 12) | 0x0B]
+    words += [asm_i(0x13, 1, 0, SRC - 4, 0), hint_storew(1)]
+    for k in range(0, len(data), 4):
+        words += [asm_i(0x13, 1, 0, SRC + k, 0), hint_storew(1)]
+    words += [
+        (0xABCDE << 12) | (2 << 7) | 0x37,     # lui  x2, 0xABCDE
+        asm_i(0x13, 2, 2, 0x321, 0),           # addi x2, x2, 0x321
+        asm_s(2, 0, 2, DST),                   # sentinel at window word 0
+        asm_s(2, 0, 2, DST + 32),              # sentinel at window word 8
+        asm_i(0x13, 5, 0, DST + dst_off, 0),   # x5 = dst (unaligned)
+        asm_i(0x13, 6, 0, SRC, 0),
+        asm_i(0x13, 7, 0, len(data), 0),
+        sha_r(5, 6, 7),
+        TERMINATE,
+    ]
+    prog = Program(instructions=Transpiler().transpile(words), pc_base=0)
+    exe = VmExe(program=prog, pc_start=0)
+    inputs = _inputs(data)
+    st = Interpreter(exe).execute(inputs=inputs)
+    assert st.exit_code == 0
+    digest = hashlib.sha256(data).digest()
+    assert bytes(st.memory[DST + dst_off:DST + dst_off + 32]) == digest
+    # edge bytes keep previous values (0xABCDE321 -> LE [21 e3 cd ab])
+    assert st.memory[DST] == 0x21 and st.memory[DST + 2] == 0xCD
+    assert st.memory[DST + 35] == 0xAB
+
+    vm = VirtualMachine(Rv32Config(stark=TEST_STARK, sha256=True,
+                                   executors=("alu", "jal_lui", "loadstore",
+                                              "hintstore")))
+    vm.keygen()
+    import openvm_tpu.vm.machine as M
+    orig = M.stark_prove
+    if not os.environ.get("OPENVM_SLOW"):
+        M.stark_prove = lambda pk, ctxs: (_ for _ in ()).throw(SystemExit(0))
+    try:
+        proof, pre = vm.prove(exe, inputs=inputs, debug=True, native=False)
+    except SystemExit:
+        return
+    finally:
+        M.stark_prove = orig
+    vm.verify(proof)
