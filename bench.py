@@ -140,12 +140,15 @@ def run_real_elf_prove(n_loop: int, emit_partial=None) -> dict:
            "cells": cells, "cells_per_s": cells / t_cold}
     if emit_partial is not None:
         emit_partial(res)
-    if t_cold < budget_s / 3:
-        # steady-state measurement: the cold prove above paid every
-        # one-time XLA compile (in-process + persistent cache); the warm
-        # prove is the per-proof figure of merit (the reference's kernels
-        # are AOT-compiled Rust/CUDA — its per-proof time has no JIT
-        # either).
+    # steady-state measurement: the cold prove above paid every one-time
+    # XLA compile/trace (in-process jit cache + persistent cache); the
+    # warm prove is the per-proof figure of merit (the reference's
+    # kernels are AOT-compiled Rust/CUDA — its per-proof time has no JIT
+    # either).  Round-5 measurement: warm is ~1/10 of a cache-warm cold
+    # (45.6s vs 517s at FIB_N=30000), so budget the warm re-measure at
+    # cold/2 against what remains — the old `t_cold < budget/3` guard
+    # skipped the warm prove exactly when it mattered most.
+    if t_keygen + t_cold + max(t_cold / 2, 60) < budget_s:
         t0 = time.time()
         proof, pre = vm.prove(exe, inputs=inputs)
         t_prove = time.time() - t0

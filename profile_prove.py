@@ -3,14 +3,20 @@
 Not part of the package; used to attack the end-to-end host-cost gap
 (round-4 verdict Weak #3).  Writes progress to stdout unbuffered.
 """
-import faulthandler
 import json
 import os
 import sys
 import time
 
 os.environ.setdefault("OPENVM_TPU_TIMING", "1")
-faulthandler.dump_traceback_later(180, repeat=True, file=sys.stderr)
+# NOTE: do NOT enable faulthandler.dump_traceback_later here — the
+# watchdog's async stack walk while the main thread is inside XLA
+# tracing/compilation segfaulted this jaxlib reproducibly (round-5
+# profiling; same crash signature as the suite-level pytest-faulthandler
+# incidents).  Set OPENVM_TPU_PROFILE_WATCHDOG=1 to opt back in.
+if os.environ.get("OPENVM_TPU_PROFILE_WATCHDOG"):
+    import faulthandler
+    faulthandler.dump_traceback_later(180, repeat=True, file=sys.stderr)
 
 N = int(os.environ.get("BENCH_FIB_N", "2000"))
 
