@@ -162,3 +162,30 @@ def test_full_aggregation_tree(agg_setup):
     res = sdk.verify_root_proof(agg_pk, root,
                                 expected_app_commit=app_proof.exe_commit)
     assert res["connector"] == [int(v) for v in conn]
+
+
+@pytest.mark.skipif(not os.environ.get("OPENVM_SLOW"),
+                    reason="native-VM quotient compiles at the production "
+                           "profile take >1h on XLA:CPU (measured round 5); "
+                           "docs/LEAF_PROD_PROVE.md holds a committed run "
+                           "log of this flow on the real chip")
+def test_leaf_crypto_prove_production_profile(app_setup):
+    """Round-1's original bar: the native VM CRYPTO-proves a leaf
+    verifier run over a real app crypto proof at a production-ish FRI
+    profile (log_blowup 1, 34 queries, 16 PoW bits — the reference's
+    standard_with_100_bits_conjectured_security(1) query count), and
+    stark_verify accepts the leaf proof.  The leaf program execution is
+    the full STARK verification of the app proof, so this exercises
+    transcript replay, FRI queries/folds, VERIFY_BATCH and
+    FRI_REDUCED_OPENING chips at a real security level."""
+    sdk, app_pk, app_proof = app_setup
+    prod = StarkConfig(fri=FriParameters(log_blowup=1, num_queries=34,
+                                         proof_of_work_bits=16))
+    log_degrees = [p.log_degree for p in app_proof.proof.per_air]
+    agg_pk = sdk.agg_keygen(app_pk, log_degrees, num_children=2, stark=prod)
+    leaf = sdk.prove_leaf(agg_pk, app_pk, app_proof.proof)
+    agg_pk.vm.verify(leaf)
+    res = sdk.verify_root(agg_pk, leaf,
+                          expected_app_commit=app_proof.exe_commit)
+    conn = app_proof.proof.per_air[1].public_values
+    assert res["connector"] == [int(v) for v in conn]
