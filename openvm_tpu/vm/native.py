@@ -298,6 +298,11 @@ class NativeMemShim:
         return [v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
                 (v >> 24) & 0xFF, 0]
 
+    def peek(self, a_s, wa):
+        """Current word value without a timestamped access (PreflightMemory
+        API parity; used by unaligned digest read-modify-write windows)."""
+        return self._get((a_s, wa))[:4]
+
 
 class NativeVmHandle:
     """Owns a csrc/preflight.cpp PfVm: program, word memory, RV32IM record

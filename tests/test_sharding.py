@@ -44,12 +44,49 @@ def test_graft_entry_contract():
     assert out.shape == (8,)
 
 
+_SHARDED_VM_SCRIPT = r"""
+import json, sys
+from openvm_tpu.parallel import make_mesh, trace_sharding
+from openvm_tpu.stark.codec import encode_proof
+from openvm_tpu.stark.prover import reset_shard_stats, shard_stats
+from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
+from tests.test_vm_prove import FIB_EXECUTORS, TEST_STARK, build_fib_program
+
+exe = build_fib_program(12)
+vm = VirtualMachine(Rv32Config(stark=TEST_STARK, executors=FIB_EXECUTORS))
+vm.keygen()
+mesh = make_mesh(8, seg_axis=1)
+reset_shard_stats()
+with trace_sharding(mesh):
+    proof, _ = vm.prove(exe)
+vm.verify(proof)
+with open(sys.argv[1], "wb") as f:
+    f.write(encode_proof(proof))
+with open(sys.argv[2], "w") as f:
+    json.dump(shard_stats(), f)
+"""
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-def test_sharded_vm_proof_bytes_equal_single_device():
+def test_sharded_vm_proof_bytes_equal_single_device(tmp_path):
     """Full VM proof row-sharded over the mesh == single-device, byte for
     byte (the collectives change data placement, never values — exact
-    modular arithmetic is reduction-order independent)."""
-    from openvm_tpu.parallel import trace_sharding
+    modular arithmetic is reduction-order independent), plus sharding-
+    coverage accounting (round-4 verdict: `_maybe_shard`'s divisibility
+    skip was unmeasured — on this workload >95% of cells distribute).
+
+    The SHARDED prove runs in a clean subprocess: compiling the sharded
+    executables on XLA:CPU in a process that has already built dozens of
+    unsharded ones reproducibly SEGFAULTS inside backend_compile_and_load
+    (single-threaded, state-dependent — this exact test killed the full
+    suite in rounds 4 AND 5; it passes in isolation).  Subprocess
+    isolation removes the order dependence without weakening the
+    assertion — the proof bytes cross the process boundary and must equal
+    the in-process single-device bytes."""
+    import json
+    import subprocess
+    import sys
+
     from openvm_tpu.stark.codec import encode_proof
     from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
     from tests.test_vm_prove import (FIB_EXECUTORS, TEST_STARK,
@@ -60,35 +97,25 @@ def test_sharded_vm_proof_bytes_equal_single_device():
                                    executors=FIB_EXECUTORS))
     vm.keygen()
     proof_single, _ = vm.prove(exe)
-    mesh = make_mesh(8, seg_axis=1)
-    with trace_sharding(mesh):
-        proof_sharded, _ = vm.prove(exe)
-    vm.verify(proof_sharded)
-    assert encode_proof(proof_sharded) == encode_proof(proof_single)
 
-
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-def test_sharding_coverage_reported():
-    """The prover accounts for what fraction of trace cells actually
-    distributed (round-4 verdict: `_maybe_shard`'s divisibility skip was
-    unmeasured).  On the fib workload every tall matrix shards; only
-    sub-8-row auxiliaries stay replicated, so cell coverage is ~100%."""
-    from openvm_tpu.parallel import trace_sharding
-    from openvm_tpu.stark.prover import reset_shard_stats, shard_stats
-    from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
-    from tests.test_vm_prove import (FIB_EXECUTORS, TEST_STARK,
-                                     build_fib_program)
-
-    exe = build_fib_program(12)
-    vm = VirtualMachine(Rv32Config(stark=TEST_STARK,
-                                   executors=FIB_EXECUTORS))
-    vm.keygen()
-    mesh = make_mesh(8, seg_axis=1)
-    reset_shard_stats()
-    with trace_sharding(mesh):
-        proof, _ = vm.prove(exe)
-    vm.verify(proof)
-    st = shard_stats()
+    proof_path = tmp_path / "sharded_proof.bin"
+    stats_path = tmp_path / "shard_stats.json"
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8")
+               .strip(),
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""))
+    res = subprocess.run(
+        [sys.executable, "-c", _SHARDED_VM_SCRIPT, str(proof_path),
+         str(stats_path)],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1800)
+    assert res.returncode == 0, f"sharded prove subprocess failed:\n" \
+                                f"{res.stdout}\n{res.stderr}"
+    assert proof_path.read_bytes() == encode_proof(proof_single)
+    st = json.loads(stats_path.read_text())
     assert st["sharded_mats"] > 0
     assert st["cell_coverage"] > 0.95, st
 
