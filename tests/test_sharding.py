@@ -55,11 +55,14 @@ from tests.test_vm_prove import FIB_EXECUTORS, TEST_STARK, build_fib_program
 exe = build_fib_program(12)
 vm = VirtualMachine(Rv32Config(stark=TEST_STARK, executors=FIB_EXECUTORS))
 vm.keygen()
+proof_single, _ = vm.prove(exe)
 mesh = make_mesh(8, seg_axis=1)
 reset_shard_stats()
 with trace_sharding(mesh):
     proof, _ = vm.prove(exe)
 vm.verify(proof)
+assert encode_proof(proof) == encode_proof(proof_single), \
+    "sharded proof bytes differ from single-device"
 with open(sys.argv[1], "wb") as f:
     f.write(encode_proof(proof))
 with open(sys.argv[2], "w") as f:
@@ -75,32 +78,23 @@ def test_sharded_vm_proof_bytes_equal_single_device(tmp_path):
     coverage accounting (round-4 verdict: `_maybe_shard`'s divisibility
     skip was unmeasured — on this workload >95% of cells distribute).
 
-    The SHARDED prove runs in a clean subprocess: compiling the sharded
-    executables on XLA:CPU in a process that has already built dozens of
-    unsharded ones reproducibly SEGFAULTS inside backend_compile_and_load
-    (single-threaded, state-dependent — this exact test killed the full
-    suite in rounds 4 AND 5; it passes in isolation).  Subprocess
-    isolation removes the order dependence without weakening the
-    assertion — the proof bytes cross the process boundary and must equal
-    the in-process single-device bytes."""
+    BOTH proves run in one clean subprocess: XLA:CPU segfaults inside
+    backend_compile_and_load when this test's proves compile after ~100
+    suite tests of in-process compile history (rounds 4 and 5 both died
+    here — first on the sharded compile, then, with only the sharded
+    prove isolated, on the SINGLE-DEVICE one: the trigger is cumulative
+    process state, not sharding).  The byte-equality and coverage
+    assertions execute inside the subprocess; the parent re-checks the
+    shipped proof bytes decode and the coverage stats."""
     import json
+    import os
     import subprocess
     import sys
 
-    from openvm_tpu.stark.codec import encode_proof
-    from openvm_tpu.vm.machine import Rv32Config, VirtualMachine
-    from tests.test_vm_prove import (FIB_EXECUTORS, TEST_STARK,
-                                     build_fib_program)
-
-    exe = build_fib_program(12)
-    vm = VirtualMachine(Rv32Config(stark=TEST_STARK,
-                                   executors=FIB_EXECUTORS))
-    vm.keygen()
-    proof_single, _ = vm.prove(exe)
+    from openvm_tpu.stark.codec import decode_proof
 
     proof_path = tmp_path / "sharded_proof.bin"
     stats_path = tmp_path / "shard_stats.json"
-    import os
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
@@ -111,10 +105,10 @@ def test_sharded_vm_proof_bytes_equal_single_device(tmp_path):
     res = subprocess.run(
         [sys.executable, "-c", _SHARDED_VM_SCRIPT, str(proof_path),
          str(stats_path)],
-        env=env, cwd=repo, capture_output=True, text=True, timeout=1800)
+        env=env, cwd=repo, capture_output=True, text=True, timeout=2400)
     assert res.returncode == 0, f"sharded prove subprocess failed:\n" \
                                 f"{res.stdout}\n{res.stderr}"
-    assert proof_path.read_bytes() == encode_proof(proof_single)
+    decode_proof(proof_path.read_bytes())  # bytes are a well-formed proof
     st = json.loads(stats_path.read_text())
     assert st["sharded_mats"] > 0
     assert st["cell_coverage"] > 0.95, st
